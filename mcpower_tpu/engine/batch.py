@@ -1,0 +1,191 @@
+"""Batch driver: jit(vmap(run_one_sim)) with on-device count reduction.
+
+The reference's batch driver fans sims out over rayon threads with per-sim
+mutable result slices (crates/engine-core/src/batch.rs:636-743). Here the
+whole per-sim pipeline — generation, fit, thresholding, corrections, posthoc
+— is a pure function of ``(spec, arrays, seed, sim_id)``; ``vmap`` over the
+sim axis turns it into one fused batched XLA program and the per-sim u8
+flags are reduced to int32 counts before they ever leave the device. The
+sequential/parallel bit-identity the reference proves with a twin
+(run_batch_st) holds here by construction: results depend only on sim ids,
+never on batch shape, chunking, or device placement.
+
+Chunked dispatch (the orchestrator calls run_batch per chunk of sims)
+replicates the reference's ~50-reports-per-run progress cadence and its
+between-chunk cancellation points without touching the hot loop.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import corrections, datagen, olsfit, rng
+from .spec import SimSpec
+
+
+def _split_seed(base_seed: int) -> Tuple[int, int]:
+    base_seed = int(base_seed) & 0xFFFFFFFFFFFFFFFF
+    return base_seed & 0xFFFFFFFF, base_seed >> 32
+
+
+def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
+    """All per-sim significance flags across the grid. Pure function."""
+    # Per-sim key: one Philox call on the key-derivation stream.
+    k0, k1, _, _ = rng.philox4x32(
+        jnp.asarray(sim_id, jnp.uint32),
+        jnp.uint32(0),
+        jnp.uint32(rng.CLASS_SIMKEY),
+        jnp.uint32(0),
+        jnp.asarray(seed_lo, jnp.uint32),
+        jnp.asarray(seed_hi, jnp.uint32),
+    )
+    key = (k0, k1)
+
+    X, y, ids = datagen.generate(spec, arr, key)
+
+    if spec.estimator == "ols":
+        stats = olsfit.ols_grid_stats(spec, arr, X, y)
+    elif spec.estimator == "glm":
+        from . import glmfit
+
+        stats = glmfit.glm_grid_stats(spec, arr, X, y, ids)
+    elif spec.estimator == "mle":
+        from . import mixedfit
+
+        stats = mixedfit.mixed_grid_stats(spec, arr, X, y, ids)
+    else:
+        raise ValueError(f"unknown estimator {spec.estimator!r}")
+
+    t2 = stats["t2"]  # (G, k)
+    sig_unc = t2 > arr["t2_uncorrected"]
+    sig_corr = corrections.apply_correction(
+        t2, arr["t2_corrected_ranks"], spec.correction
+    )
+    converged = stats["converged"]
+    # Failed fits count as non-significant everywhere.
+    sig_unc = sig_unc & converged[:, None]
+    sig_corr = sig_corr & converged[:, None]
+
+    out = {
+        "sig_unc": sig_unc,
+        "sig_corr": sig_corr,
+        "converged": converged,
+        "t2": t2,
+    }
+
+    if spec.report_overall:
+        out["overall"] = (stats["overall"] > arr["overall_crit"]) & converged
+
+    k = spec.n_targets
+    if k > 0:
+        nsig_unc = jnp.sum(sig_unc, axis=1)
+        nsig_corr = jnp.sum(sig_corr, axis=1)
+        out["joint_unc"] = nsig_unc == k
+        out["joint_corr"] = nsig_corr == k
+        # exactly-j detection histogram, one-hot per sim
+        out["nsig_hist_unc"] = nsig_unc[:, None] == jnp.arange(k + 1)[None, :]
+        out["nsig_hist_corr"] = nsig_corr[:, None] == jnp.arange(k + 1)[None, :]
+
+    if spec.posthoc and "posthoc_t2" in stats:
+        out["posthoc_sig"] = (
+            stats["posthoc_t2"] > arr["posthoc_t2"]
+        ) & converged[:, None]
+
+    for extra in ("boundary_hit", "singular", "tau2_hat", "glm_baseline"):
+        if extra in stats:
+            out[extra] = stats[extra]
+
+    return out
+
+
+@lru_cache(maxsize=64)
+def _batch_fn(spec: SimSpec, capture: bool):
+    """Build + cache the jitted batched program for one static spec."""
+
+    def batched(arr: Dict, seed_lo, seed_hi, sim_ids):
+        per_sim = jax.vmap(
+            lambda sid: run_one_sim(spec, arr, seed_lo, seed_hi, sid)
+        )(sim_ids)
+        if capture:
+            return per_sim
+        # Reduce to counts on device: booleans -> int32 sums over the sim
+        # axis; float diagnostics -> sums (host divides by n).
+        counts = {}
+        for name, v in per_sim.items():
+            if name == "t2":
+                continue
+            if v.dtype == bool:
+                counts[name] = jnp.sum(v.astype(jnp.int32), axis=0)
+            else:
+                counts[name] = jnp.sum(
+                    jnp.where(jnp.isfinite(v), v, 0.0).astype(jnp.float64), axis=0
+                )
+        return counts
+
+    return jax.jit(batched)
+
+
+def run_batch(
+    spec: SimSpec,
+    arrays: Dict,
+    n_sims: int,
+    base_seed: int,
+    *,
+    sim_id_offset: int = 0,
+    chunk_size: Optional[int] = None,
+    progress=None,
+    cancel=None,
+) -> Dict[str, np.ndarray]:
+    """Run ``n_sims`` simulations and return host-side count tensors.
+
+    ``progress(done, total) -> None`` is invoked between chunks; ``cancel()``
+    returning True stops between chunks (partial counts are returned with
+    ``counts['n_done']`` recording how many sims completed — the merge
+    algebra handles partial batches).
+    """
+    spec.validate_layout()
+    fn = _batch_fn(spec, False)
+    seed_lo, seed_hi = _split_seed(base_seed)
+
+    chunk = int(chunk_size) if chunk_size else max(min(n_sims, 4096), 1)
+    totals: Dict[str, np.ndarray] = {}
+    done = 0
+    while done < n_sims:
+        m = min(chunk, n_sims - done)
+        sim_ids = jnp.arange(
+            sim_id_offset + done, sim_id_offset + done + m, dtype=jnp.uint32
+        )
+        out = fn(arrays, jnp.uint32(seed_lo), jnp.uint32(seed_hi), sim_ids)
+        out = jax.device_get(out)
+        for name, v in out.items():
+            totals[name] = totals.get(name, 0) + np.asarray(v)
+        done += m
+        if progress is not None:
+            progress(done, n_sims)
+        if cancel is not None and cancel():
+            break
+    totals["n_done"] = np.asarray(done)
+    return totals
+
+
+def run_batch_capture(
+    spec: SimSpec,
+    arrays: Dict,
+    n_sims: int,
+    base_seed: int,
+    *,
+    sim_id_offset: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Per-sim statistics (t^2, flags) for debug/introspection — the
+    equivalent of the reference's run_batch_st_capture (batch.rs:180)."""
+    spec.validate_layout()
+    fn = _batch_fn(spec, True)
+    seed_lo, seed_hi = _split_seed(base_seed)
+    sim_ids = jnp.arange(sim_id_offset, sim_id_offset + n_sims, dtype=jnp.uint32)
+    out = fn(arrays, jnp.uint32(seed_lo), jnp.uint32(seed_hi), sim_ids)
+    return {k: np.asarray(v) for k, v in jax.device_get(out).items()}

@@ -1,0 +1,185 @@
+"""Critical-value tables, precomputed on host once per run.
+
+The device hot loop never evaluates a distribution CDF/ppf: every threshold a
+simulation can be compared against is computed here, once, and shipped as
+small f64 arrays. Comparisons happen in t^2 space (one squared statistic vs
+one precomputed squared critical value), which is what lets the per-sim device
+code be pure arithmetic — the same design invariant the reference engine
+enforces (crates/engine-core/src/critvals.rs:1-9).
+
+The ppf implementations delegate to scipy (stdtrit / chdtri / fdtri /
+studentized_range), which match R's qt/qnorm/qchisq/qf to <= 1e-12 — inside
+the reference's published validation tolerances (BASELINE.md: abs <= 1e-9 for
+OLS t crits, <= 1e-8 for z/chi2). These run once per call, not per sim, so
+host scipy costs nothing at scale.
+
+Estimator-awareness: OLS fits test with Student-t on df = N - P (per grid N);
+GLM / MLE (mixed) fits test with Wald z. Correction rows are per-rank
+thresholds (Bonferroni / Holm / Benjamini-Hochberg) mapped into t^2 space;
+Tukey HSD uses the studentized-range ppf at the factor's level count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import stats as _stats
+
+
+def norm_ppf(p):
+    return _stats.norm.ppf(p)
+
+
+def t_ppf(p, df):
+    return _stats.t.ppf(p, df)
+
+
+def chi2_ppf(p, df):
+    return _stats.chi2.ppf(p, df)
+
+
+def f_ppf(p, dfn, dfd):
+    return _stats.f.ppf(p, dfn, dfd)
+
+
+def q_tukey_ppf(p, k, df):
+    """Studentized-range quantile (Tukey HSD), q such that P(Q <= q) = p."""
+    return _stats.studentized_range.ppf(p, k, df)
+
+
+def _two_sided_t2(alpha: np.ndarray, df: np.ndarray, use_t: bool) -> np.ndarray:
+    """t^2 (or z^2) critical value for a two-sided test at level alpha."""
+    p = 1.0 - np.asarray(alpha) / 2.0
+    if use_t:
+        crit = _stats.t.ppf(p, df)
+    else:
+        crit = _stats.norm.ppf(p)
+    return np.square(crit)
+
+
+@dataclass(frozen=True)
+class CritTable:
+    """All per-run thresholds, shaped over the sample-size grid.
+
+    Arrays are float64 and indexed by grid position g (ascending N).
+    """
+
+    grid: Tuple[int, ...]
+    n_targets: int
+    use_t: bool  # True: OLS t (df = N - P); False: Wald z
+    # (n_grid, n_targets): uncorrected two-sided t^2 crit per target.
+    t2_uncorrected: np.ndarray
+    # (n_grid, n_targets): per-RANK corrected crits (rank 0 = most significant
+    # = smallest p). Interpretation depends on the correction method; "none"
+    # duplicates the uncorrected row.
+    t2_corrected_ranks: np.ndarray
+    correction: str
+    # (n_grid,): overall omnibus crit — F crit (OLS), chi2 crit (GLM LRT /
+    # MLE joint Wald). NaN when the omnibus is not reported.
+    overall_crit: np.ndarray
+    overall_df1: int
+    # (n_grid,) residual df per grid point (np.inf for z tests).
+    df_resid: np.ndarray
+    # joint "all tests significant" chi2 crit at k = n_targets (MLE joint).
+    joint_chi2_crit: float
+    # posthoc: per factor, (n_grid,) t^2 crit for its pairwise contrasts.
+    posthoc_t2: Dict[int, np.ndarray] = field(default_factory=dict)
+    posthoc_correction: str = "tukey_hsd"
+
+
+def build_crit_table(
+    *,
+    alpha: float,
+    grid: Sequence[int],
+    p_fit: int,
+    n_targets: int,
+    use_t: bool,
+    correction: str = "none",
+    overall: Optional[str] = None,  # None | "f" | "chi2"
+    overall_df1: int = 0,
+    posthoc_factors: Optional[Dict[int, int]] = None,  # factor idx -> k levels
+    posthoc_correction: str = "tukey_hsd",
+) -> CritTable:
+    """Precompute every threshold for a run over the ascending N ``grid``.
+
+    ``p_fit`` is the fitted model's column count (incl. intercept) — it sets
+    the OLS residual df per grid point. ``overall_df1`` is the omnibus
+    numerator df (number of tested model terms).
+    """
+    grid_arr = np.asarray(grid, dtype=np.int64)
+    n_grid = grid_arr.size
+    if use_t:
+        df_resid = np.maximum(grid_arr - p_fit, 1).astype(np.float64)
+    else:
+        df_resid = np.full(n_grid, np.inf)
+
+    # Uncorrected: same alpha for every target.
+    alpha_row = np.full((n_grid, max(n_targets, 1)), alpha)
+    df_mat = np.repeat(df_resid[:, None], max(n_targets, 1), axis=1)
+    t2_unc = _two_sided_t2(alpha_row, df_mat, use_t)
+
+    # Corrected per-rank thresholds. Rank r (0-based) of k sorted p-values
+    # (ascending p == descending t^2) is tested against:
+    #   bonferroni:          alpha / k                (same for all ranks)
+    #   holm:                alpha / (k - r)          (step-down)
+    #   benjamini_hochberg:  alpha * (r + 1) / k      (step-up)
+    #   none:                alpha
+    k = max(n_targets, 1)
+    ranks = np.arange(k, dtype=np.float64)
+    if correction == "bonferroni":
+        alpha_ranks = np.full(k, alpha / k)
+    elif correction == "holm":
+        alpha_ranks = alpha / (k - ranks)
+    elif correction == "benjamini_hochberg":
+        alpha_ranks = alpha * (ranks + 1.0) / k
+    elif correction in ("none", "tukey_hsd"):
+        # tukey applies to posthoc contrasts, not the marginal target row.
+        alpha_ranks = np.full(k, alpha)
+    else:
+        raise ValueError(f"unknown correction {correction!r}")
+    t2_corr = _two_sided_t2(
+        np.repeat(alpha_ranks[None, :], n_grid, axis=0), df_mat, use_t
+    )
+
+    # Overall omnibus crit.
+    if overall == "f":
+        dfn = max(overall_df1, 1)
+        overall_crit = _stats.f.ppf(1.0 - alpha, dfn, np.maximum(df_resid, 1.0))
+    elif overall == "chi2":
+        overall_crit = np.full(n_grid, _stats.chi2.ppf(1.0 - alpha, max(overall_df1, 1)))
+    else:
+        overall_crit = np.full(n_grid, np.nan)
+
+    joint_crit = float(_stats.chi2.ppf(1.0 - alpha, max(n_targets, 1)))
+
+    # Posthoc pairwise crits per factor.
+    posthoc: Dict[int, np.ndarray] = {}
+    for fidx, k_levels in (posthoc_factors or {}).items():
+        n_pairs = k_levels * (k_levels - 1) // 2
+        if posthoc_correction == "tukey_hsd":
+            dfv = df_resid if use_t else np.full(n_grid, 1e9)
+            q = _stats.studentized_range.ppf(1.0 - alpha, k_levels, dfv)
+            posthoc[fidx] = np.square(q / np.sqrt(2.0))
+        elif posthoc_correction == "bonferroni":
+            posthoc[fidx] = _two_sided_t2(
+                np.full(n_grid, alpha / max(n_pairs, 1)), df_resid, use_t
+            )
+        else:  # none
+            posthoc[fidx] = _two_sided_t2(np.full(n_grid, alpha), df_resid, use_t)
+
+    return CritTable(
+        grid=tuple(int(n) for n in grid_arr),
+        n_targets=n_targets,
+        use_t=use_t,
+        t2_uncorrected=t2_unc,
+        t2_corrected_ranks=t2_corr,
+        correction=correction,
+        overall_crit=np.asarray(overall_crit, dtype=np.float64),
+        overall_df1=overall_df1,
+        df_resid=df_resid,
+        joint_chi2_crit=joint_crit,
+        posthoc_t2=posthoc,
+        posthoc_correction=posthoc_correction,
+    )

@@ -1,0 +1,157 @@
+"""End-to-end OLS power: engine estimates vs analytic truth.
+
+The Monte-Carlo analogue of the reference's statistical-correctness
+integration tests (SURVEY.md §4.2): run the full jitted pipeline and compare
+the power estimate to closed-form values within Wilson-band tolerance.
+"""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from mcpower_tpu.engine import batch, lower
+from mcpower_tpu.engine.spec import ScenarioStatic
+
+
+def analytic_ols_power(beta, n, alpha=0.05, p_fit=2, sd_x=1.0):
+    """Two-sided t-test power for one standardized coefficient, sigma=1."""
+    df = n - p_fit
+    ncp = beta * sd_x * np.sqrt(n)
+    tcrit = stats.t.ppf(1 - alpha / 2, df)
+    return 1 - stats.nct.cdf(tcrit, df, ncp) + stats.nct.cdf(-tcrit, df, ncp)
+
+
+def test_single_continuous_predictor_power():
+    # y = 0.3 x + eps, n = 100: analytic power ~0.85
+    spec, arrays = lower.lower(
+        grid=[100],
+        var_types=["normal"],
+        effects=np.array([0.0, 0.3]),
+        target_cols=[1],
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=4000, base_seed=2137)
+    power = counts["sig_unc"][0, 0] / counts["n_done"]
+    want = analytic_ols_power(0.3, 100)
+    assert abs(power - want) < 0.02, (power, want)
+    assert counts["converged"][0] == counts["n_done"]
+
+
+def test_two_group_t_test_as_binary_ols():
+    # Driver acceptance config #1: two-group t-test, n=100, d=0.5.
+    # Binary 50/50 predictor, beta = d/2 per unit of the 0/1 dummy... the
+    # standardized effect convention: with x in {0,1} (p=.5, sd=.5) and
+    # beta=0.5, the group mean difference is 0.5 => classic d=0.5 power ~0.70.
+    spec, arrays = lower.lower(
+        grid=[100],
+        var_types=["binary"],
+        var_params=[0.5],
+        effects=np.array([0.0, 0.5]),
+        target_cols=[1],
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=4000, base_seed=2137)
+    power = counts["sig_unc"][0, 0] / counts["n_done"]
+    # analytic two-sample t power, n1=n2=50, d=0.5
+    want = analytic_ols_power(0.5, 100, sd_x=0.5)
+    assert abs(power - want) < 0.025, (power, want)
+
+
+def test_null_effect_rejects_at_alpha():
+    spec, arrays = lower.lower(
+        grid=[80],
+        var_types=["normal", "normal"],
+        effects=np.array([0.0, 0.0, 0.4]),
+        target_cols=[1, 2],
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=4000, base_seed=7)
+    a_hat = counts["sig_unc"][0, 0] / counts["n_done"]
+    assert abs(a_hat - 0.05) < 0.012, a_hat
+
+
+def test_grid_prefix_power_is_monotone_and_matches_single_runs():
+    """CRN grid: power from one grid run == power from per-N runs (same seed)."""
+    spec_g, arr_g = lower.lower(
+        grid=[40, 80, 160],
+        var_types=["normal"],
+        effects=np.array([0.0, 0.35]),
+        target_cols=[1],
+    )
+    counts_g = batch.run_batch(spec_g, arr_g, n_sims=1500, base_seed=11)
+    for gi, n in enumerate([40, 80, 160]):
+        spec_1, arr_1 = lower.lower(
+            grid=[n],
+            var_types=["normal"],
+            effects=np.array([0.0, 0.35]),
+            target_cols=[1],
+        )
+        counts_1 = batch.run_batch(spec_1, arr_1, n_sims=1500, base_seed=11)
+        assert counts_1["sig_unc"][0, 0] == counts_g["sig_unc"][gi, 0], (
+            "prefix stability: grid point must equal standalone run"
+        )
+    p = counts_g["sig_unc"][:, 0] / counts_g["n_done"]
+    assert p[0] < p[1] < p[2]
+
+
+def test_correlated_predictors_reduce_power():
+    effects = np.array([0.0, 0.3, 0.3])
+    spec_i, arr_i = lower.lower(
+        grid=[120],
+        var_types=["normal", "normal"],
+        effects=effects,
+        target_cols=[1, 2],
+    )
+    corr = np.array([[1.0, 0.6], [0.6, 1.0]])
+    spec_c, arr_c = lower.lower(
+        grid=[120],
+        var_types=["normal", "normal"],
+        corr=corr,
+        effects=effects,
+        target_cols=[1, 2],
+    )
+    ci = batch.run_batch(spec_i, arr_i, n_sims=2000, base_seed=3)
+    cc = batch.run_batch(spec_c, arr_c, n_sims=2000, base_seed=3)
+    p_ind = ci["sig_unc"][0, 0] / ci["n_done"]
+    p_cor = cc["sig_unc"][0, 0] / cc["n_done"]
+    assert p_cor < p_ind - 0.05, (p_ind, p_cor)
+
+
+def test_chunking_is_invisible():
+    spec, arrays = lower.lower(
+        grid=[60],
+        var_types=["normal"],
+        effects=np.array([0.0, 0.4]),
+        target_cols=[1],
+    )
+    a = batch.run_batch(spec, arrays, n_sims=1000, base_seed=5, chunk_size=1000)
+    b = batch.run_batch(spec, arrays, n_sims=1000, base_seed=5, chunk_size=137)
+    for k in ("sig_unc", "sig_corr", "converged"):
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_bonferroni_correction_reduces_power():
+    spec, arrays = lower.lower(
+        grid=[100],
+        var_types=["normal", "normal", "normal"],
+        effects=np.array([0.0, 0.3, 0.3, 0.3]),
+        target_cols=[1, 2, 3],
+        correction="bonferroni",
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=2000, base_seed=13)
+    p_unc = counts["sig_unc"][0] / counts["n_done"]
+    p_cor = counts["sig_corr"][0] / counts["n_done"]
+    assert np.all(p_cor < p_unc)
+    # Bonferroni at alpha/3: analytic single-test power at that alpha
+    want = analytic_ols_power(0.3, 100, alpha=0.05 / 3, p_fit=4)
+    assert np.all(np.abs(p_cor - want) < 0.03), (p_cor, want)
+
+
+def test_overall_f_null_rate():
+    spec, arrays = lower.lower(
+        grid=[90],
+        var_types=["normal", "normal"],
+        effects=np.array([0.0, 0.0, 0.0]),
+        target_cols=[1, 2],
+        report_overall=True,
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=3000, base_seed=17)
+    rate = counts["overall"][0] / counts["n_done"]
+    assert abs(rate - 0.05) < 0.012, rate
