@@ -541,3 +541,28 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
         raise ValueError(f"unknown outcome {spec.outcome!r}")
 
     return X, y.astype(jnp.float32), ids
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(0,))
+def generate_batch(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_ids):
+    """Jitted, vmapped generation: (n_sims, max_n, P) X, (n_sims, max_n) y.
+
+    Used by tests, the debug/introspection capture path, and anywhere raw
+    simulated datasets are needed outside the fused power pipeline.
+    """
+
+    def one(sid):
+        k0, k1, _, _ = rng.philox4x32(
+            jnp.asarray(sid, jnp.uint32),
+            jnp.uint32(0),
+            jnp.uint32(rng.CLASS_SIMKEY),
+            jnp.uint32(0),
+            jnp.asarray(seed_lo, jnp.uint32),
+            jnp.asarray(seed_hi, jnp.uint32),
+        )
+        return generate(spec, arr, (k0, k1))
+
+    return jax.vmap(one)(sim_ids)
