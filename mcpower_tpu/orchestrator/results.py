@@ -1,0 +1,169 @@
+"""Result folding: raw device counters -> host result trees.
+
+The single source of result shape for every consumer (reports, plots, merge,
+ports) — the role of the reference's aggregation fold + HostValue projection
+(crates/engine-orchestrator/src/aggregation.rs, result_host.rs). Everything is
+derived from integer counters so that merging worker results (pool counters,
+re-derive) is exact.
+
+Result tree (per scenario), all rates as proportions in [0, 1]:
+
+    {
+      "n_sims": int, "sample_sizes": [N...], "target_labels": [...],
+      "powers": {                       # per grid point g
+        "uncorrected": [[p per target]...], "corrected": [...],
+        "ci_uncorrected": [[(lo,hi)...]...], "ci_corrected": [...],
+      },
+      "success_counts_uncorrected": [[k per target]...],
+      "success_counts_corrected":   [[...]...],
+      "convergence_rate": [per g], "converged_counts": [per g],
+      "joint_uncorrected_rate": [per g], "joint_corrected_rate": [per g],
+      "success_count_histogram_uncorrected": [[...k+1]...],
+      "success_count_histogram_corrected":   [[...]...],
+      "overall_significant_rate": [per g] | None,
+      "overall_significant_ci":   [(lo,hi) per g] | None,
+      "posthoc": {factor_label: {pair_label: {"power": [per g], "ci": [...]}}},
+      "estimator_extras": {...}, "warnings": [str...],
+    }
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..engine.spec import SimSpec
+from .aggregation import rate, wilson_ci
+
+
+def fold_counts(
+    spec: SimSpec,
+    counts: Dict[str, np.ndarray],
+    *,
+    target_labels: Sequence[str],
+    posthoc_labels: Optional[Dict[str, List[str]]] = None,
+    warnings: Optional[List[str]] = None,
+) -> Dict:
+    """Fold one scenario's device counters into the host result tree."""
+    n_done = int(counts["n_done"])
+    n_grid = spec.n_grid
+    k = spec.n_targets
+
+    sig_unc = np.asarray(counts["sig_unc"], dtype=np.int64).reshape(n_grid, k)
+    sig_corr = np.asarray(counts["sig_corr"], dtype=np.int64).reshape(n_grid, k)
+    converged = np.asarray(counts["converged"], dtype=np.int64).reshape(n_grid)
+
+    p_unc = sig_unc / max(n_done, 1)
+    p_corr = sig_corr / max(n_done, 1)
+    ci_unc_lo, ci_unc_hi = wilson_ci(sig_unc, n_done)
+    ci_corr_lo, ci_corr_hi = wilson_ci(sig_corr, n_done)
+
+    result: Dict = {
+        "n_sims": n_done,
+        "sample_sizes": list(spec.grid),
+        "target_labels": list(target_labels),
+        "estimator": spec.estimator,
+        "alpha_correction": spec.correction,
+        "scenario": spec.scenario.label,
+        "powers": {
+            "uncorrected": p_unc.tolist(),
+            "corrected": p_corr.tolist(),
+            "ci_uncorrected": np.stack([ci_unc_lo, ci_unc_hi], axis=-1).tolist(),
+            "ci_corrected": np.stack([ci_corr_lo, ci_corr_hi], axis=-1).tolist(),
+        },
+        "success_counts_uncorrected": sig_unc.tolist(),
+        "success_counts_corrected": sig_corr.tolist(),
+        "converged_counts": converged.tolist(),
+        "convergence_rate": (converged / max(n_done, 1)).tolist()
+        if n_done
+        else [1.0] * n_grid,
+        "warnings": list(warnings or []),
+    }
+
+    if "joint_unc" in counts:
+        result["joint_counts_uncorrected"] = np.asarray(counts["joint_unc"]).tolist()
+        result["joint_counts_corrected"] = np.asarray(counts["joint_corr"]).tolist()
+        result["joint_uncorrected_rate"] = rate(
+            counts["joint_unc"], n_done
+        ).tolist()
+        result["joint_corrected_rate"] = rate(counts["joint_corr"], n_done).tolist()
+        result["success_count_histogram_uncorrected"] = np.asarray(
+            counts["nsig_hist_unc"]
+        ).tolist()
+        result["success_count_histogram_corrected"] = np.asarray(
+            counts["nsig_hist_corr"]
+        ).tolist()
+
+    if "overall" in counts:
+        k_ov = np.asarray(counts["overall"], dtype=np.int64)
+        lo, hi = wilson_ci(k_ov, n_done)
+        result["overall_counts"] = k_ov.tolist()
+        result["overall_significant_rate"] = rate(k_ov, n_done).tolist()
+        result["overall_significant_ci"] = np.stack(
+            [np.atleast_1d(lo), np.atleast_1d(hi)], axis=-1
+        ).tolist()
+
+    if "posthoc_sig" in counts and posthoc_labels:
+        ph_counts = np.asarray(counts["posthoc_sig"], dtype=np.int64)
+        result["posthoc_counts"] = ph_counts.tolist()
+        ph_out: Dict = {}
+        col = 0
+        for flabel, pair_labels in posthoc_labels.items():
+            ph_out[flabel] = {}
+            for plabel in pair_labels:
+                kc = ph_counts[:, col]
+                lo, hi = wilson_ci(kc, n_done)
+                ph_out[flabel][plabel] = {
+                    "power": rate(kc, n_done).tolist(),
+                    "ci": np.stack([np.atleast_1d(lo), np.atleast_1d(hi)], axis=-1).tolist(),
+                }
+                col += 1
+        result["posthoc"] = ph_out
+
+    extras: Dict = {}
+    if spec.estimator == "glm":
+        if "glm_baseline" in counts:
+            extras["baseline_prob_realized"] = (
+                np.asarray(counts["glm_baseline"]) / max(n_done, 1)
+            ).tolist()
+        if "singular" in counts:
+            extras["singular_fit_rate"] = rate(counts["singular"], n_done).tolist()
+        if "tau2_hat" in counts:
+            extras["tau_squared_hat_mean"] = (
+                np.asarray(counts["tau2_hat"]) / max(n_done, 1)
+            ).tolist()
+    elif spec.estimator == "mle":
+        if "tau2_hat" in counts:
+            extras["tau_estimate"] = np.sqrt(
+                np.maximum(np.asarray(counts["tau2_hat"]) / max(n_done, 1), 0.0)
+            ).tolist()
+            extras["tau_squared_hat_mean"] = (
+                np.asarray(counts["tau2_hat"]) / max(n_done, 1)
+            ).tolist()
+        if "boundary_hit" in counts:
+            extras["boundary_hits"] = np.asarray(counts["boundary_hit"]).tolist()
+            extras["boundary_hit_rate"] = rate(counts["boundary_hit"], n_done).tolist()
+    if extras:
+        result["estimator_extras"] = {spec.estimator: extras}
+
+    return result
+
+
+def point_view(result: Dict, g: int = 0) -> Dict:
+    """Single-grid-point projection of a folded result (find_power shape)."""
+    out = dict(result)
+    out["sample_size"] = result["sample_sizes"][g]
+    out["power_uncorrected"] = dict(
+        zip(result["target_labels"], result["powers"]["uncorrected"][g])
+    )
+    out["power_corrected"] = dict(
+        zip(result["target_labels"], result["powers"]["corrected"][g])
+    )
+    out["ci_uncorrected"] = dict(
+        zip(result["target_labels"], result["powers"]["ci_uncorrected"][g])
+    )
+    out["ci_corrected"] = dict(
+        zip(result["target_labels"], result["powers"]["ci_corrected"][g])
+    )
+    return out

@@ -1,0 +1,179 @@
+"""Run orchestration: power at N, sample-size search, scenario loops.
+
+The thin host layer over the jitted engine — scenario iteration, grid
+construction, chunked dispatch with progress/cancel, count folding, crossing
+fits. Mirrors crates/engine-orchestrator/src/{find_power,find_sample_size,
+scenario_loop}.rs in behavior; the "multi-core vs single-core twin" split
+disappears because the engine is one fused device program either way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..engine import batch
+from ..engine.spec import SimSpec
+from . import crossing, grid as gridmod, results
+from .progress import CancellationToken, ProgressEvent, ProgressRouter
+
+
+@dataclass
+class LoweredScenario:
+    """One scenario's compiled workload: static spec + device arrays +
+    labeling metadata from the spec builder."""
+
+    label: str
+    spec: SimSpec
+    arrays: Dict
+    target_labels: List[str] = field(default_factory=list)
+    posthoc_labels: Optional[Dict[str, List[str]]] = None
+    warnings: List[str] = field(default_factory=list)
+
+
+def find_power(
+    scenarios: Sequence[LoweredScenario],
+    *,
+    n_sims: int,
+    base_seed: int,
+    progress=None,
+    cancel: Optional[CancellationToken] = None,
+    chunk_size: Optional[int] = None,
+    devices=None,
+) -> Dict[str, Dict]:
+    """Power at a single N (the spec's grid must be a single point), one
+    result per scenario. Scenarios share the seed (paired draws where
+    unperturbed — the reference's lower_contracts invariant)."""
+    router = ProgressRouter(progress, cancel)
+    out: Dict[str, Dict] = {}
+    for sc in scenarios:
+        if router.cancel.is_cancelled():
+            break
+        counts = _run_counts(
+            sc, n_sims, base_seed, router, chunk_size=chunk_size, devices=devices
+        )
+        out[sc.label] = results.fold_counts(
+            sc.spec,
+            counts,
+            target_labels=sc.target_labels,
+            posthoc_labels=sc.posthoc_labels,
+            warnings=sc.warnings,
+        )
+    return out
+
+
+def find_sample_size(
+    scenarios: Sequence[LoweredScenario],
+    *,
+    n_sims: int,
+    base_seed: int,
+    target_power: float,
+    atom: int = 1,
+    progress=None,
+    cancel: Optional[CancellationToken] = None,
+    chunk_size: Optional[int] = None,
+    devices=None,
+) -> Dict[str, Dict]:
+    """Grid sample-size search: ONE batch per scenario covers every grid N
+    via CRN prefix suff-stats; first-achieved read-off + crossing fits."""
+    router = ProgressRouter(progress, cancel)
+    out: Dict[str, Dict] = {}
+    for sc in scenarios:
+        if router.cancel.is_cancelled():
+            break
+        counts = _run_counts(
+            sc, n_sims, base_seed, router, chunk_size=chunk_size, devices=devices
+        )
+        res = results.fold_counts(
+            sc.spec,
+            counts,
+            target_labels=sc.target_labels,
+            posthoc_labels=sc.posthoc_labels,
+            warnings=sc.warnings,
+        )
+        res["target_power"] = gridmod.as_proportion(target_power)
+        res["cluster_atom"] = atom
+        _derive_sample_size_outputs(res, sc.spec, counts, target_power, atom)
+        out[sc.label] = res
+    return out
+
+
+def _derive_sample_size_outputs(res, spec, counts, target_power, atom):
+    grid_ns = list(spec.grid)
+    n_done = int(counts["n_done"])
+    p_corr = np.asarray(res["powers"]["corrected"])  # (G, k)
+
+    first = {}
+    fits = {}
+    for i, label in enumerate(res["target_labels"]):
+        first[label] = gridmod.first_n_at_target(p_corr, grid_ns, target_power, i)
+        fit = crossing.fit_crossing(
+            grid_ns,
+            np.asarray(res["success_counts_corrected"])[:, i],
+            n_done,
+            target_power,
+            atom,
+        )
+        fits[label] = fit.__dict__
+    res["first_achieved"] = first
+    res["fitted"] = fits
+
+    if "joint_counts_corrected" in res:
+        jc = np.asarray(res["joint_counts_corrected"])
+        jr = jc / max(n_done, 1)
+        res["first_joint_achieved"] = next(
+            (
+                int(n)
+                for n, r in zip(grid_ns, jr)
+                if r >= gridmod.as_proportion(target_power)
+            ),
+            None,
+        )
+        res["fitted_joint"] = crossing.fit_crossing(
+            grid_ns, jc, n_done, target_power, atom
+        ).__dict__
+    if "overall_counts" in res:
+        oc = np.asarray(res["overall_counts"])
+        orate = oc / max(n_done, 1)
+        res["first_overall_achieved"] = next(
+            (
+                int(n)
+                for n, r in zip(grid_ns, orate)
+                if r >= gridmod.as_proportion(target_power)
+            ),
+            None,
+        )
+        res["fitted_overall"] = crossing.fit_crossing(
+            grid_ns, oc, n_done, target_power, atom
+        ).__dict__
+
+
+def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None):
+    total = n_sims
+    cb = router.chunk_callback(sc.label, total)
+    # ~8 progress beats per scenario by default (each beat = one device
+    # dispatch; more beats = more host sync, fewer = coarser cancel).
+    chunk = chunk_size or max(256, -(-n_sims // 8))
+    if devices is not None:
+        from ..parallel.mesh import run_batch_sharded
+
+        return run_batch_sharded(
+            sc.spec,
+            sc.arrays,
+            n_sims,
+            base_seed,
+            devices=devices,
+            progress=cb,
+            cancel=router.cancel,
+        )
+    return batch.run_batch(
+        sc.spec,
+        sc.arrays,
+        n_sims,
+        base_seed,
+        chunk_size=chunk,
+        progress=cb,
+        cancel=router.cancel,
+    )

@@ -1,0 +1,105 @@
+"""Multi-device scaling: shard the sim axis over a 1-D mesh, psum the counts.
+
+The reference scales out with worker pools whose results are only
+*statistically* equivalent across pool sizes (per-worker seed offsets +
+counter pooling, ports/wasm/src/seeds.ts, engine-orchestrator/src/merge.rs).
+Here every simulation is addressed by its global sim id, so sharding the id
+range over N devices is *bit-stable* in N: the only cross-device
+communication in an entire run is one ``psum`` of small int32 count tensors,
+riding ICI. Multi-host runs use the same program over a process-spanning mesh
+(``jax.distributed``) — the collective then crosses DCN, still once per run.
+
+The host-side merge algebra (orchestrator.merge) remains for heterogeneous
+fan-out (e.g. pooling runs from different machines).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..engine import batch as batch_mod
+from ..engine.spec import SimSpec
+
+
+def sims_mesh(devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), ("sims",))
+
+
+@lru_cache(maxsize=32)
+def _sharded_fn(spec: SimSpec, mesh_key):
+    mesh = _MESHES[mesh_key]
+
+    def per_shard(arr: Dict, seed_lo, seed_hi, sim_ids, valid):
+        def one(sid):
+            return batch_mod.run_one_sim(spec, arr, seed_lo, seed_hi, sid)
+
+        per_sim = jax.vmap(one)(sim_ids)
+        counts = {}
+        for name, v in per_sim.items():
+            if name == "t2":
+                continue
+            if v.dtype == bool:
+                masked = v & valid.reshape((-1,) + (1,) * (v.ndim - 1))
+                counts[name] = jnp.sum(masked.astype(jnp.int32), axis=0)
+            else:
+                vm = jnp.where(
+                    valid.reshape((-1,) + (1,) * (v.ndim - 1)),
+                    jnp.where(jnp.isfinite(v), v, 0.0),
+                    0.0,
+                )
+                counts[name] = jnp.sum(vm.astype(jnp.float64), axis=0)
+        # The run's single collective: pool counters over the mesh.
+        return jax.tree.map(lambda c: jax.lax.psum(c, "sims"), counts)
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("sims"), P("sims")),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+_MESHES: Dict = {}
+
+
+def run_batch_sharded(
+    spec: SimSpec,
+    arrays: Dict,
+    n_sims: int,
+    base_seed: int,
+    *,
+    devices=None,
+    progress=None,
+    cancel=None,
+) -> Dict[str, np.ndarray]:
+    """Device-sharded run_batch: identical counts to the single-device path
+    (global sim ids), one psum per dispatch."""
+    spec.validate_layout()
+    mesh = sims_mesh(devices)
+    mesh_key = tuple(id(d) for d in mesh.devices.flat)
+    _MESHES[mesh_key] = mesh
+    nd = mesh.devices.size
+
+    seed_lo, seed_hi = batch_mod._split_seed(base_seed)
+    per = -(-n_sims // nd)
+    padded = per * nd
+    sim_ids = jnp.arange(padded, dtype=jnp.uint32)
+    valid = sim_ids < n_sims
+
+    fn = _sharded_fn(spec, mesh_key)
+    out = fn(arrays, jnp.uint32(seed_lo), jnp.uint32(seed_hi), sim_ids, valid)
+    totals = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+    totals["n_done"] = np.asarray(n_sims)
+    if progress is not None:
+        progress(n_sims, n_sims)
+    return totals

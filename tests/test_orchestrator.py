@@ -1,0 +1,144 @@
+"""Orchestrator: find_power / find_sample_size / merge / sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mcpower_tpu.engine import batch, lower
+from mcpower_tpu.orchestrator import crossing, grid as gridmod, merge, results, runner
+from mcpower_tpu.orchestrator.progress import CancellationToken
+
+
+def _scenario(grid, beta=0.35, n_cont=1, **kw):
+    effects = np.zeros(1 + n_cont)
+    effects[1] = beta
+    spec, arrays = lower.lower(
+        grid=grid,
+        var_types=["normal"] * n_cont,
+        effects=effects,
+        target_cols=list(range(1, n_cont + 1)),
+        **kw,
+    )
+    return runner.LoweredScenario(
+        label="optimistic",
+        spec=spec,
+        arrays=arrays,
+        target_labels=[f"x{j}" for j in range(1, n_cont + 1)],
+    )
+
+
+def test_find_power_result_shape():
+    sc = _scenario([100])
+    out = runner.find_power([sc], n_sims=800, base_seed=2137)
+    res = out["optimistic"]
+    assert res["n_sims"] == 800
+    assert res["sample_sizes"] == [100]
+    p = res["powers"]["uncorrected"][0][0]
+    lo, hi = res["powers"]["ci_uncorrected"][0][0]
+    assert lo < p < hi
+    assert 0.8 < res["convergence_rate"][0] <= 1.0
+
+
+def test_find_sample_size_crossing():
+    grid, warn = gridmod.build_grid(30, 300, "auto", "linear", 1, 1)
+    sc = _scenario(grid, beta=0.3)
+    out = runner.find_sample_size(
+        [sc], n_sims=2000, base_seed=2137, target_power=80.0
+    )
+    res = out["optimistic"]
+    fit = res["fitted"]["x1"]
+    assert fit["kind"] == "fitted"
+    # analytic required N for beta=0.3 at 80% power ~ (2.8/0.3)^2 ~ 88
+    assert 70 <= fit["n_achievable"] <= 110, fit
+    assert res["first_achieved"]["x1"] is not None
+    assert fit["ci_lo"] < fit["n_star"] < fit["ci_hi"]
+
+
+def test_grid_builder_auto_and_snapping():
+    grid, warnings = gridmod.build_grid(30, 200, "auto", "linear", 1, 1)
+    assert grid[0] == 30 and grid[-1] == 200
+    assert 8 <= len(grid) <= 14
+    # atom snapping
+    grid2, w2 = gridmod.build_grid(35, 205, "auto", "linear", 20, 1)
+    assert grid2[0] == 40 and grid2[-1] == 200
+    assert all(n % 20 == 0 for n in grid2)
+    assert len(w2) >= 2
+    # log mode
+    grid3, _ = gridmod.build_grid(30, 300, 5, "log", 1, 1)
+    assert grid3[0] == 30 and grid3[-1] == 300 and len(grid3) == 5
+
+
+def test_pava_and_crossing():
+    y = [0.1, 0.3, 0.25, 0.5, 0.45, 0.9]
+    fit = crossing.pava(y)
+    assert np.all(np.diff(fit) >= 0)
+    assert abs(np.sum(fit) - np.sum(y)) < 1e-12  # mean-preserving on blocks
+    res = crossing.fit_crossing([10, 20, 30, 40], [100, 400, 700, 900], 1000, 80.0, 1)
+    assert res.kind == "fitted"
+    assert 30 < res.n_star < 40
+
+
+def test_crossing_edge_cases():
+    at_min = crossing.fit_crossing([10, 20], [900, 950], 1000, 80.0, 1)
+    assert at_min.kind == "at_or_below_min" and at_min.n_min == 10
+    nr = crossing.fit_crossing([10, 20, 30], [100, 200, 600], 1000, 80.0, 1)
+    assert nr.kind == "not_reached"
+    assert nr.n_approx is not None and nr.n_approx > 30
+    nm = crossing.fit_crossing([10, 20, 30], [800, 300, 820], 1000, 80.0, 1)
+    assert nm.kind == "non_monotone"
+
+
+def test_merge_counter_pooling_exact():
+    """Two disjoint-sim-id halves pool to exactly the one-shot result."""
+    sc = _scenario([80])
+    full = runner.find_power([sc], n_sims=1000, base_seed=9)["optimistic"]
+
+    c1 = batch.run_batch(sc.spec, sc.arrays, 500, 9, sim_id_offset=0)
+    c2 = batch.run_batch(sc.spec, sc.arrays, 500, 9, sim_id_offset=500)
+    r1 = results.fold_counts(sc.spec, c1, target_labels=["x1"])
+    r2 = results.fold_counts(sc.spec, c2, target_labels=["x1"])
+    merged = merge.merge_power_results([r1, r2])
+
+    assert merged["n_sims"] == full["n_sims"]
+    assert merged["success_counts_uncorrected"] == full["success_counts_uncorrected"]
+    assert merged["powers"] == full["powers"]
+
+
+def test_sharded_run_matches_single_device():
+    """8-device shard_map run returns bit-identical counts."""
+    from mcpower_tpu.parallel.mesh import run_batch_sharded
+
+    sc = _scenario([60])
+    single = batch.run_batch(sc.spec, sc.arrays, 999, 21)
+    sharded = run_batch_sharded(
+        sc.spec, sc.arrays, 999, 21, devices=jax.devices()[:8]
+    )
+    for k in ("sig_unc", "sig_corr", "converged"):
+        np.testing.assert_array_equal(single[k], sharded[k], err_msg=k)
+
+
+def test_cancellation_between_chunks():
+    sc = _scenario([60])
+    token = CancellationToken()
+    calls = []
+
+    def cb(done, total):
+        calls.append(done)
+        if len(calls) >= 2:
+            token.cancel()
+
+    out = runner.find_power(
+        [sc], n_sims=1000, base_seed=3, progress=cb,
+        cancel=token, chunk_size=100,
+    )
+    res = out["optimistic"]
+    assert res["n_sims"] < 1000  # stopped early
+    assert res["n_sims"] >= 200
+
+
+def test_split_sims_disjoint_cover():
+    parts = merge.split_sims(1000, 7)
+    assert sum(c for _, c in parts) == 1000
+    offs = [o for o, _ in parts]
+    assert offs == sorted(offs)
