@@ -64,7 +64,7 @@ def _sharded_fn(spec: SimSpec, mesh_key):
         mesh=mesh,
         in_specs=(P(), P(), P(), P("sims"), P("sims")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
