@@ -141,7 +141,7 @@ def glm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray
 
     def per_grid(n):
         mask = (rows < n).astype(jnp.float64)
-        nn = jnp.float64(n)
+        nn = jnp.asarray(n, jnp.float64)
         beta0 = beta0_full
         if not spec.scenario.truth_start:
             ybar = jnp.sum(yf * mask) / nn
@@ -161,13 +161,10 @@ def glm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray
         ybar_real = jnp.sum(yf * mask) / nn
         return beta, cov, converged, dev, dev0, ybar_real
 
-    stacked = [per_grid(n) for n in spec.grid]
-    beta = jnp.stack([s[0] for s in stacked])  # (G, P)
-    cov = jnp.stack([s[1] for s in stacked])  # (G, P, P)
-    converged = jnp.stack([s[2] for s in stacked])  # (G,)
-    dev = jnp.stack([s[3] for s in stacked])
-    dev0 = jnp.stack([s[4] for s in stacked])
-    ybar = jnp.stack([s[5] for s in stacked])
+    # vmap over the grid axis: one traced IRLS regardless of grid length.
+    beta, cov, converged, dev, dev0, ybar = jax.vmap(per_grid)(
+        jnp.asarray(spec.grid, jnp.int32)
+    )
 
     cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
     t2_cols = []

