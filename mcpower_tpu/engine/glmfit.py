@@ -24,7 +24,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from . import rng
+from . import rng, smallchol
 from .spec import SimSpec
 
 N_IRLS_ITERS = 30
@@ -90,8 +90,8 @@ def _irls(outcome, link, Xf, yf, mask, beta0):
         xw = Xf * w[:, None]
         xtwx = xw.T @ Xf + ridge
         xtwz = xw.T @ z
-        chol = jnp.linalg.cholesky(xtwx)
-        beta_new = jax.scipy.linalg.cho_solve((chol, True), xtwz)
+        chol = smallchol.chol(xtwx)
+        beta_new = smallchol.cho_solve(chol, xtwz)
         beta_new = jnp.clip(beta_new, -BETA_CAP, BETA_CAP)
         ok = jnp.all(jnp.isfinite(beta_new))
         step = jnp.max(jnp.abs(beta_new - beta))
@@ -106,10 +106,8 @@ def _irls(outcome, link, Xf, yf, mask, beta0):
     w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
     xw = Xf * w[:, None]
     xtwx = xw.T @ Xf + ridge
-    chol = jnp.linalg.cholesky(xtwx)
-    cov = jax.scipy.linalg.cho_solve(
-        (chol, True), jnp.eye(pf, dtype=jnp.float64)
-    )
+    chol = smallchol.chol(xtwx)
+    cov = smallchol.cho_inverse(chol)
     dev = _deviance(outcome, yf, mu, mask)
     at_cap = jnp.any(jnp.abs(beta) >= BETA_CAP - 1e-6)
     converged = done & jnp.all(jnp.isfinite(beta)) & ~at_cap

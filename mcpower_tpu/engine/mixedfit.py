@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import smallchol
 from .spec import SimSpec
 
 # log-gamma golden-section search window and iteration budget.
@@ -98,34 +99,46 @@ def _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, p):
     a_xy = xty - jnp.einsum("m,mp,m->p", c, s, t)
     a_yy = yty - jnp.sum(c * t * t)
 
-    chol = jnp.linalg.cholesky(a_xx)
-    beta = jax.scipy.linalg.cho_solve((chol, True), a_xy)
+    chol = smallchol.chol(a_xx)
+    beta = smallchol.cho_solve(chol, a_xy)
     rss = a_yy - beta @ a_xy  # r' V0^-1 r at the profiled beta
     df = n - p
     sigma2 = rss / df
 
     logdet_v = jnp.sum(jnp.log1p(gamma * n_j))
-    logdet_xvx = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    logdet_xvx = smallchol.logdet_from_chol(chol)
     # Profiled REML deviance (lme4 convention, constants dropped):
     dev = logdet_v + logdet_xvx + df * jnp.log(rss)
     return dev, beta, chol, sigma2, rss
 
 
 def _golden_minimize(dev_fn, lo: float, hi: float, iters: int):
-    """Fixed-iteration golden-section minimum of a scalar function."""
+    """Fixed-iteration golden-section minimum: one NEW evaluation per
+    iteration (the classic value-carrying variant)."""
     a = jnp.float64(lo)
     b = jnp.float64(hi)
+    x1 = b - _INV_PHI * (b - a)
+    x2 = a + _INV_PHI * (b - a)
+    f1 = dev_fn(x1)
+    f2 = dev_fn(x2)
 
     def body(_, carry):
-        a, b = carry
-        x1 = b - _INV_PHI * (b - a)
-        x2 = a + _INV_PHI * (b - a)
-        f1 = dev_fn(x1)
-        f2 = dev_fn(x2)
-        keep_left = f1 < f2
-        return jnp.where(keep_left, a, x1), jnp.where(keep_left, x2, b)
+        a, b, x1, x2, f1, f2 = carry
+        keep_left = f1 < f2  # minimum in [a, x2]
+        a2 = jnp.where(keep_left, a, x1)
+        b2 = jnp.where(keep_left, x2, b)
+        x1_new = b2 - _INV_PHI * (b2 - a2)
+        x2_new = a2 + _INV_PHI * (b2 - a2)
+        # keep_left: new x2 == old x1 (value known); else new x1 == old x2.
+        x_eval = jnp.where(keep_left, x1_new, x2_new)
+        f_eval = dev_fn(x_eval)
+        x1o = jnp.where(keep_left, x_eval, x2)
+        f1o = jnp.where(keep_left, f_eval, f2)
+        x2o = jnp.where(keep_left, x1, x_eval)
+        f2o = jnp.where(keep_left, f1, f_eval)
+        return a2, b2, x1o, x2o, f1o, f2o
 
-    a, b = jax.lax.fori_loop(0, iters, body, (a, b))
+    a, b, *_ = jax.lax.fori_loop(0, iters, body, (a, b, x1, x2, f1, f2))
     return 0.5 * (a + b)
 
 
@@ -172,9 +185,7 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
         dev, beta, chol, sigma2, rss = _reml_quantities(
             gamma_hat, n_j, s, t, xtx, xty, yty, n, pf
         )
-        cov = sigma2 * jax.scipy.linalg.cho_solve(
-            (chol, True), jnp.eye(pf, dtype=jnp.float64)
-        )
+        cov = sigma2 * smallchol.cho_inverse(chol)
         tau2_hat = gamma_hat * sigma2
         converged = (
             jnp.isfinite(dev)
@@ -209,7 +220,7 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
         tc = jnp.asarray(spec.target_cols)
         bt = beta[:, tc]
         ct = cov[:, tc][:, :, tc]
-        sol = jnp.linalg.solve(ct, bt[..., None])[..., 0]
+        sol = smallchol.cho_solve(smallchol.chol(ct), bt)
         overall = jnp.einsum("gp,gp->g", bt, sol)
     else:
         overall = jnp.zeros(spec.n_grid, jnp.float64)

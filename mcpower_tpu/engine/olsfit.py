@@ -30,6 +30,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import smallchol
 from .spec import SimSpec
 
 
@@ -72,12 +73,12 @@ def ols_grid_stats(spec: SimSpec, arr: Dict, X, y) -> Dict[str, jnp.ndarray]:
     xtx, xty, yty, ysum = grid_suffstats(spec, Xf, yf)
     ns = jnp.asarray(spec.grid, dtype=jnp.float64)
 
-    # Batched solve over the grid axis.
-    chol = jnp.linalg.cholesky(xtx)  # (G, P, P); NaN rows when singular
-    beta = jax.scipy.linalg.cho_solve((chol, True), xty[..., None])[..., 0]
-    inv = jax.scipy.linalg.cho_solve(
-        (chol, True), jnp.broadcast_to(jnp.eye(pf, dtype=jnp.float64), xtx.shape)
-    )
+    # Batched solve over the grid axis via the unrolled static-p kernel
+    # (smallchol): pure fused VPU arithmetic instead of XLA's loop-based
+    # cholesky — the difference between ~8 s and ~ms at 10k sims.
+    chol = smallchol.chol(xtx)  # (G, P, P); NaN rows when singular
+    beta = smallchol.cho_solve(chol, xty)
+    inv = smallchol.cho_inverse(chol)
 
     rss = yty - jnp.einsum("gp,gp->g", beta, xty)
     df_resid = jnp.maximum(ns - pf, 1.0)

@@ -1,0 +1,119 @@
+"""Unrolled small-matrix Cholesky: the hot-path linear algebra kernel.
+
+XLA's ``lax.linalg.cholesky`` / ``triangular_solve`` lower to sequential
+While loops with dynamic-update-slice — catastrophic for millions of tiny
+(p x p, p <= ~20) batched factorizations, and doubly so in float64 (TPU f64
+is double-double emulation; loop-carried f64 state multiplies the cost).
+Profiled on a v5e: a 10k-sim OLS batch spent ~99% of its time inside those
+loop kernels.
+
+Since p is STATIC in this engine (it is part of the jit key), the entire
+factorization can be unrolled into p(p+1)/2 scalar-lane expressions over the
+batch: pure elementwise VPU arithmetic that XLA fuses into one kernel with
+the surrounding math. This file is that unroll — factor, triangular solves,
+inverse, logdet — for arbitrary batch dims.
+
+This is the moral equivalent of the reference's hand-written dense kernels
+(the glmm crate's small-matrix path and chol_lower at
+crates/engine-core/src/data_gen.rs:55): own the tiny-matrix hot path, leave
+the library path for big matrices.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+MAX_UNROLL_P = 32
+
+
+def chol(A):
+    """Lower Cholesky of (..., p, p) PSD matrices, unrolled over static p.
+
+    Zero/negative pivots produce inf/nan like the library kernel (callers
+    detect failure through finiteness checks).
+    """
+    p = A.shape[-1]
+    if p > MAX_UNROLL_P:
+        return jnp.linalg.cholesky(A)
+    L = [[None] * p for _ in range(p)]
+    for j in range(p):
+        d = A[..., j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(d)
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, p):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    rows = [
+        jnp.stack(
+            [L[i][j] if j <= i else jnp.zeros_like(L[i][i]) for j in range(p)],
+            axis=-1,
+        )
+        for i in range(p)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def solve_lower(L, b):
+    """Solve L y = b (forward substitution), b (..., p)."""
+    p = L.shape[-1]
+    if p > MAX_UNROLL_P:
+        import jax
+
+        return jax.lax.linalg.triangular_solve(
+            L, b[..., None], left_side=True, lower=True
+        )[..., 0]
+    y = [None] * p
+    for i in range(p):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[..., i, k] * y[k]
+        y[i] = s / L[..., i, i]
+    return jnp.stack(y, axis=-1)
+
+
+def solve_upper_t(L, y):
+    """Solve L^T x = y (back substitution with the lower factor)."""
+    p = L.shape[-1]
+    if p > MAX_UNROLL_P:
+        import jax
+
+        return jax.lax.linalg.triangular_solve(
+            L, y[..., None], left_side=True, lower=True, transpose_a=True
+        )[..., 0]
+    x = [None] * p
+    for i in reversed(range(p)):
+        s = y[..., i]
+        for k in range(i + 1, p):
+            s = s - L[..., k, i] * x[k]
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
+def cho_solve(L, b):
+    """Solve A x = b given A = L L^T."""
+    return solve_upper_t(L, solve_lower(L, b))
+
+
+def cho_inverse(L):
+    """Full inverse of A = L L^T: p unrolled solves against identity."""
+    p = L.shape[-1]
+    eye = jnp.eye(p, dtype=L.dtype)
+    cols = [cho_solve(L, jnp.broadcast_to(eye[j], L.shape[:-2] + (p,))) for j in range(p)]
+    return jnp.stack(cols, axis=-1)
+
+
+def logdet_from_chol(L):
+    """log|A| = 2 sum log diag(L)."""
+    return 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+
+
+def chol_ok(L):
+    """True where the factorization succeeded (finite, positive diagonal)."""
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return jnp.all(jnp.isfinite(d) & (d > 0.0), axis=-1)
