@@ -1,0 +1,732 @@
+"""MCPower: the user-facing model class (Python-port API parity).
+
+Mirrors the public surface of the reference's Python port
+(ports/py/mcpower/model.py ``MCPower``): an R-style formula plus chained
+deferred ``set_*`` configuration, two entry operations (``find_power`` /
+``find_sample_size``), robustness scenarios, and text summaries. Two
+independent axes configure every analysis:
+
+* ``family=`` — the data-generating process: "ols" (continuous), "logit" /
+  "probit" (binary), "poisson" (count), "lme" (continuous + clusters).
+* ``estimator=`` / ``solve_as=`` — the model FITTED to each simulated
+  dataset; defaults to the correctly-specified match, override to study
+  misspecification (e.g. estimator="ols" on a clustered DGP).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings as _warnings
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .config import (
+    CONFIG,
+    RESIDUAL_NAMES,
+    get_default_scenario_config,
+    get_simulation_defaults,
+    normalize_correction,
+)
+from .engine.adapter import contract_to_lowered
+from .orchestrator import grid as gridmod, runner
+from .orchestrator.progress import CancellationToken
+from .specbuilder.assignments import parse_assignments
+from .specbuilder.project import build_contracts
+from .specbuilder.testsel import overall_test_available, resolve_tests
+from .specbuilder.variables import VariableRegistry
+
+_FAMILIES = ("ols", "logit", "probit", "poisson", "lme")
+_ESTIMATORS = ("ols", "glm", "mle")
+
+
+class MCPower:
+    """Monte Carlo power analysis for OLS / GLM / mixed-effects designs."""
+
+    def __init__(
+        self,
+        formula: str,
+        *,
+        family: str = "ols",
+        estimator: Optional[str] = None,
+        solve_as: Optional[str] = None,
+    ) -> None:
+        family = str(family).lower()
+        if family not in _FAMILIES:
+            raise ValueError(f"family must be one of {_FAMILIES}, got {family!r}")
+        self.family = family
+
+        if family in ("logit", "probit"):
+            self.outcome_kind = "binary"
+        elif family == "poisson":
+            self.outcome_kind = "count"
+        else:
+            self.outcome_kind = "continuous"
+        self.link: Optional[str] = "probit" if family == "probit" else None
+
+        est = estimator if estimator is not None else solve_as
+        if est is not None and str(est).lower() not in _ESTIMATORS:
+            raise ValueError(f"estimator must be one of {_ESTIMATORS}, got {est!r}")
+        if est is not None:
+            self.estimator = str(est).lower()
+        elif family in ("logit", "probit", "poisson"):
+            self.estimator = "glm"
+        elif family == "lme":
+            self.estimator = "mle"
+        else:
+            self.estimator = "ols"
+
+        sim = get_simulation_defaults()
+        self.seed: Optional[int] = sim["seed"]
+        self.power: float = sim["target_power"] * 100.0
+        self.alpha: float = sim["alpha"]
+        self.n_simulations: int = sim["n_sims"]["mixed" if family == "lme" else "ols"]
+        self.max_failed_simulations: float = sim["max_failed_fraction"]
+
+        self._registry = VariableRegistry(formula)
+        self._scenario_configs: Dict[str, Dict[str, Any]] = get_default_scenario_config()
+
+        self._residual: Tuple[str, bool] = ("normal", False)
+        self._het_driver: Optional[str] = None
+        self._pending_variable_types: List[str] = []
+        self._pending_effects: List[str] = []
+        self._pending_correlations: List[Any] = []
+        self._applied = False
+        self._effects: Dict[str, float] = {}
+        self._corr_matrix: Optional[List[List[float]]] = None
+        self._corr_pairs: List[Tuple[Tuple[str, str], float]] = []
+        self._pending_baseline_probability: Optional[float] = None
+        self._pending_baseline_rate: Optional[float] = None
+        self.intercept: float = 0.0
+        self._clusters: Dict[str, Dict[str, Any]] = {}
+        self._uploaded = None
+        self.last_result: Optional[Dict] = None
+
+    # ------------------------------------------------------------------
+    # introspection properties
+    # ------------------------------------------------------------------
+    @property
+    def equation(self) -> str:
+        return self._registry.formula
+
+    @property
+    def predictor_vars_order(self) -> List[str]:
+        return self._registry.predictor_names
+
+    @property
+    def effect_names(self) -> List[str]:
+        self._ensure_applied()
+        return self._registry.effect_names
+
+    @property
+    def correlation_matrix(self) -> Optional[List[List[float]]]:
+        self._ensure_applied()
+        return self._corr_matrix
+
+    def effect_skeleton(self) -> str:
+        """A fill-in template for set_effects (the reference's skeleton)."""
+        self._ensure_applied()
+        return ", ".join(f"{n}=0.0" for n in self._registry.effect_names)
+
+    # ------------------------------------------------------------------
+    # setters (deferred; applied before each run)
+    # ------------------------------------------------------------------
+    def set_parallel(self, *_a, **_k) -> "MCPower":
+        _warnings.warn(
+            "set_parallel is a no-op: the engine runs as one fused XLA batch "
+            "per device; scale out with a device mesh instead.",
+            UserWarning,
+            stacklevel=2,
+        )
+        return self
+
+    def set_seed(self, seed: Optional[int]) -> "MCPower":
+        if seed is not None:
+            if not isinstance(seed, int):
+                raise TypeError("seed must be an integer or None")
+            if seed < 0:
+                raise ValueError("seed must be non-negative")
+        self.seed = seed
+        return self
+
+    def set_power(self, power: float) -> "MCPower":
+        if not 0 < float(power) < 100:
+            raise ValueError("target power must be in (0, 100)")
+        self.power = float(power)
+        return self
+
+    def set_alpha(self, alpha: float) -> "MCPower":
+        if not 0.0 < alpha < 1.0:
+            raise ValueError("alpha must be in (0, 1)")
+        if alpha > CONFIG["limits"]["max_alpha"]:
+            _warnings.warn(
+                f"alpha={alpha} is unusually large (> {CONFIG['limits']['max_alpha']})",
+                UserWarning,
+                stacklevel=2,
+            )
+        self.alpha = float(alpha)
+        return self
+
+    def set_simulations(self, n_simulations: int) -> "MCPower":
+        n = int(n_simulations)
+        if n < 1:
+            raise ValueError("n_simulations must be positive")
+        self.n_simulations = n
+        return self
+
+    def set_max_failed_simulations(self, fraction: float) -> "MCPower":
+        if not 0 <= fraction <= 1:
+            raise ValueError("fraction must be between 0 and 1")
+        self.max_failed_simulations = float(fraction)
+        return self
+
+    def set_effects(self, spec: Union[str, Dict[str, float]]) -> "MCPower":
+        if isinstance(spec, dict):
+            spec = ", ".join(f"{k}={v}" for k, v in spec.items())
+        if not isinstance(spec, str) or not spec.strip():
+            raise TypeError("set_effects expects a non-empty string or dict")
+        self._pending_effects.append(spec)
+        self._applied = False
+        return self
+
+    def set_variable_type(self, spec: str) -> "MCPower":
+        if not isinstance(spec, str):
+            raise TypeError("set_variable_type expects a string")
+        self._pending_variable_types.append(spec)
+        self._applied = False
+        return self
+
+    def set_correlations(self, spec) -> "MCPower":
+        if isinstance(spec, dict):
+            self._pending_correlations.append(
+                ", ".join(f"corr({a},{b})={v}" for (a, b), v in spec.items())
+            )
+        elif isinstance(spec, str):
+            self._pending_correlations.append(spec)
+        elif hasattr(spec, "tolist"):
+            self._pending_correlations = [spec.tolist()]
+        elif isinstance(spec, list):
+            self._pending_correlations = [spec]
+        else:
+            raise TypeError(
+                "set_correlations expects a string, matrix (list/ndarray), or dict"
+            )
+        self._applied = False
+        return self
+
+    def set_residual_distribution(self, name: str) -> "MCPower":
+        if name not in RESIDUAL_NAMES:
+            raise ValueError(
+                f"unknown residual distribution {name!r}; must be one of "
+                f"{sorted(RESIDUAL_NAMES)}"
+            )
+        self._residual = (name, True)  # explicit choice pins it
+        return self
+
+    def set_heteroskedasticity_driver(self, var: Optional[str] = None) -> "MCPower":
+        if var is not None:
+            non_factor = self._registry.non_factor_names
+            if var not in non_factor:
+                raise ValueError(
+                    f"heteroskedasticity variable {var!r} must be a non-factor "
+                    f"predictor; available: {non_factor}"
+                )
+        if self.family != "ols":
+            _warnings.warn(
+                f"set_heteroskedasticity_driver() has no effect for family="
+                f"{self.family!r}; heteroskedasticity is an OLS-only DGP knob.",
+                UserWarning,
+                stacklevel=2,
+            )
+        self._het_driver = var
+        return self
+
+    def set_baseline_probability(self, p: float) -> "MCPower":
+        if self.family not in ("logit", "probit"):
+            raise ValueError(
+                "set_baseline_probability is only for family='logit'/'probit'; "
+                f"family={self.family!r} sizes the intercept by set_baseline_rate="
+            )
+        if not 0.0 < p < 1.0:
+            raise ValueError("baseline probability must be in (0, 1)")
+        lo, hi = CONFIG["limits"]["baseline_p_warn"]
+        if not lo <= p <= hi:
+            _warnings.warn(
+                f"baseline probability {p} is extreme; power estimates may be "
+                "unstable at small N",
+                UserWarning,
+                stacklevel=2,
+            )
+        self._pending_baseline_probability = float(p)
+        self._applied = False
+        return self
+
+    def set_baseline_rate(self, rate: float) -> "MCPower":
+        if self.family != "poisson":
+            raise ValueError(
+                "set_baseline_rate is only for family='poisson'; "
+                f"family={self.family!r} sizes the intercept by "
+                "set_baseline_probability="
+            )
+        if rate <= 0:
+            raise ValueError("baseline rate must be > 0")
+        self._pending_baseline_rate = float(rate)
+        self._applied = False
+        return self
+
+    def set_cluster(
+        self,
+        grouping_var: str,
+        ICC: Optional[float] = None,
+        n_clusters: Optional[int] = None,
+        cluster_size: Optional[int] = None,
+        *,
+        tau_squared: Optional[float] = None,
+        random_slopes: Optional[List[str]] = None,
+        slope_variance: float = 0.0,
+        slope_intercept_corr: float = 0.0,
+        n_per_parent: Optional[int] = None,
+        cluster_level_vars: Optional[List[str]] = None,
+    ) -> "MCPower":
+        groups = self._registry.grouping_names
+        if grouping_var not in groups:
+            raise ValueError(
+                f"grouping variable {grouping_var!r} is not a random-effect "
+                f"grouping in the formula; available: {groups}"
+            )
+        if self.family == "poisson":
+            if ICC is not None:
+                raise ValueError(
+                    "family='poisson' sizes the random effect by tau_squared, "
+                    "not ICC; pass tau_squared= instead of ICC="
+                )
+        elif tau_squared is not None and ICC is not None:
+            raise ValueError("pass either ICC= or tau_squared=, not both")
+        if ICC is not None:
+            if not 0.0 <= ICC < 1.0:
+                raise ValueError("ICC must be in [0, 1)")
+            lo, hi = CONFIG["limits"]["icc_stability"]
+            if ICC != 0.0 and not lo <= ICC <= hi:
+                _warnings.warn(
+                    f"ICC={ICC} outside the numerically stable band [{lo}, {hi}]",
+                    UserWarning,
+                    stacklevel=2,
+                )
+        if n_clusters is not None and cluster_size is not None:
+            raise ValueError("pass either n_clusters= or cluster_size=, not both")
+        if n_clusters is not None and n_clusters < CONFIG["limits"]["min_clusters"]:
+            raise ValueError(
+                f"n_clusters must be >= {CONFIG['limits']['min_clusters']}"
+            )
+        if ":" in grouping_var and not n_per_parent:
+            raise ValueError(
+                f"nested grouping {grouping_var!r} requires n_per_parent="
+            )
+        for v in cluster_level_vars or []:
+            if v not in self._registry.predictor_names:
+                raise ValueError(f"cluster_level_vars: {v!r} is not a predictor")
+        for v in random_slopes or []:
+            if v not in self._registry.predictor_names:
+                raise ValueError(f"random_slopes: {v!r} is not a predictor")
+        self._clusters[grouping_var] = {
+            "icc": ICC,
+            "tau_squared": tau_squared,
+            "n_clusters": n_clusters,
+            "cluster_size": cluster_size,
+            "random_slopes": list(random_slopes or []),
+            "slope_variance": slope_variance,
+            "slope_intercept_corr": slope_intercept_corr,
+            "n_per_parent": n_per_parent,
+            "cluster_level_vars": list(cluster_level_vars or []),
+        }
+        self._applied = False
+        return self
+
+    def set_scenario_configs(self, configs: Dict[str, Dict[str, Any]]) -> "MCPower":
+        for label, cfg in configs.items():
+            base = self._scenario_configs.setdefault(
+                label, dict(self._scenario_configs.get("realistic", {}))
+            )
+            unknown = set(cfg) - set(base)
+            if unknown:
+                raise ValueError(
+                    f"unknown scenario keys for {label!r}: {sorted(unknown)}"
+                )
+            base.update(cfg)
+        return self
+
+    # ------------------------------------------------------------------
+    # apply + lowering
+    # ------------------------------------------------------------------
+    def _ensure_applied(self):
+        if not self._applied:
+            self._apply()
+
+    def _apply(self) -> None:
+        reg = VariableRegistry(self._registry.formula)
+        for frag in self._pending_variable_types:
+            items, errors = parse_assignments(
+                frag, "variable_type", reg.predictor_names
+            )
+            if errors:
+                raise ValueError("; ".join(errors))
+            for it in items:
+                reg.set_variable_type(it.key, it.value)
+        self._registry = reg
+
+        self._effects = {}
+        inter_terms = [t["vars"] for t in reg.parsed.terms if t["kind"] == "interaction"]
+        known_effect_keys = reg.effect_names + reg.factor_names + reg.predictor_names
+        for frag in self._pending_effects:
+            items, errors = parse_assignments(
+                frag, "effect", known_effect_keys, interaction_terms=inter_terms
+            )
+            if errors:
+                raise ValueError("; ".join(errors))
+            for it in items:
+                self._effects[it.key] = it.value
+
+        self._corr_matrix = None
+        self._corr_pairs = []
+        for entry in self._pending_correlations:
+            if isinstance(entry, list):
+                self._corr_matrix = entry
+                self._corr_pairs = []
+            else:
+                items, errors = parse_assignments(
+                    entry, "correlation", reg.non_factor_names
+                )
+                if errors:
+                    raise ValueError("; ".join(errors))
+                for it in items:
+                    self._corr_pairs.append((it.key[1], it.value))
+
+        # intercept from baseline
+        if self._pending_baseline_probability is not None:
+            p = self._pending_baseline_probability
+            if self.family == "probit":
+                from scipy import stats as _st
+
+                self.intercept = float(_st.norm.ppf(p))
+            else:
+                self.intercept = math.log(p / (1 - p))
+        elif self._pending_baseline_rate is not None:
+            self.intercept = math.log(self._pending_baseline_rate)
+
+        self._applied = True
+
+    def _resolve_scenarios_arg(self, scenarios) -> List[str]:
+        if scenarios is False or scenarios is None:
+            return ["optimistic"]
+        if scenarios is True:
+            return ["optimistic", "realistic", "doomer"]
+        names = list(scenarios)
+        for n in names:
+            if n not in self._scenario_configs:
+                raise ValueError(
+                    f"unknown scenario {n!r}; configured: "
+                    f"{sorted(self._scenario_configs)}"
+                )
+        return names
+
+    def _resolve_estimation(self, wald_se, agq) -> Tuple[str, int]:
+        est = CONFIG["estimation"]
+        ws = (wald_se or est["wald_se"]).lower()
+        if ws not in ("rx", "hessian"):
+            raise ValueError("wald_se must be 'rx' or 'hessian'")
+        nagq = int(agq) if agq is not None else int(est["nagq"])
+        if nagq != 1:
+            eligible = (
+                self.outcome_kind in ("binary", "count")
+                and bool(self._clusters)
+                and nagq % 2 == 1
+                and 3 <= nagq <= 25
+            )
+            if not eligible:
+                _warnings.warn(
+                    f"agq={nagq} is not eligible for this design; running at "
+                    "Laplace (agq=1) instead",
+                    UserWarning,
+                    stacklevel=3,
+                )
+                nagq = 1
+        return ws, nagq
+
+    def _project(self, names, *, target_test, correction, wald_se, nagq,
+                 test_formula=None):
+        tests = resolve_tests(
+            target_test,
+            self._registry,
+            overall_available=overall_test_available(
+                self.estimator, bool(self._clusters)
+            ),
+        )
+        projected = build_contracts(
+            self._registry,
+            outcome_kind=self.outcome_kind,
+            link=self.link,
+            estimator=self.estimator,
+            intercept=self.intercept,
+            effects=self._effects,
+            correlation_matrix=self._corr_matrix,
+            correlation_pairs=self._corr_pairs,
+            residual=self._residual,
+            het_driver_name=self._het_driver,
+            clusters=self._clusters or None,
+            alpha=self.alpha,
+            correction=normalize_correction(correction),
+            tests=tests,
+            scenario_labels=names,
+            scenario_configs=self._scenario_configs,
+            wald_se=wald_se,
+            nagq=nagq,
+            max_failed_fraction=self.max_failed_simulations,
+        )
+        if test_formula is not None:
+            from .specbuilder.formula import parse_formula
+
+            test_parsed = parse_formula(test_formula)
+            for ps in projected:
+                ps.contract.test_design = _test_design_terms(
+                    test_parsed, ps.contract, self._registry
+                )
+        return projected
+
+    def _primary_cluster(self):
+        if not self._clusters:
+            return None
+        for ps in self._project(
+            ["optimistic"], target_test=None, correction=None,
+            wald_se="rx", nagq=1,
+        ):
+            return ps.contract.generation.cluster
+        return None
+
+    # ------------------------------------------------------------------
+    # entry operations
+    # ------------------------------------------------------------------
+    def find_power(
+        self,
+        sample_size: int,
+        *,
+        target_test: Optional[str] = None,
+        correction: Optional[str] = None,
+        wald_se: Optional[str] = None,
+        agq: Optional[int] = None,
+        test_formula: Optional[str] = None,
+        n_sims: Optional[int] = None,
+        seed: Optional[int] = None,
+        scenarios: Union[bool, List[str]] = False,
+        progress_callback: Any = None,
+        verbose: bool = True,
+    ) -> Dict[str, Any]:
+        """Estimate power at a single sample size."""
+        self._ensure_applied()
+        sample_size = int(sample_size)
+        if sample_size < 2:
+            raise ValueError("sample_size must be >= 2")
+        wald_se_r, nagq = self._resolve_estimation(wald_se, agq)
+        names = self._resolve_scenarios_arg(scenarios)
+        self._derive_cluster_count(sample_size)
+        projected = self._project(
+            names, target_test=target_test, correction=correction,
+            wald_se=wald_se_r, nagq=nagq, test_formula=test_formula,
+        )
+
+        from .engine.spec import ClusterStatic  # noqa: F401
+
+        lowered = []
+        snap_warning = None
+        for ps in projected:
+            spec_probe, _ = contract_to_lowered(ps.contract, [max(sample_size, 2)])
+            n_snapped, snap_warning = gridmod.snap_single_n(
+                spec_probe.cluster, sample_size
+            )
+            spec, arrays = contract_to_lowered(ps.contract, [n_snapped])
+            w = ps.warnings + ([snap_warning] if snap_warning else [])
+            lowered.append(
+                runner.LoweredScenario(
+                    label=ps.label, spec=spec, arrays=arrays,
+                    target_labels=ps.target_labels,
+                    posthoc_labels=ps.posthoc_labels, warnings=w,
+                )
+            )
+
+        n = int(n_sims) if n_sims is not None else self.n_simulations
+        base_seed = self._base_seed(seed)
+        results = runner.find_power(
+            lowered, n_sims=n, base_seed=base_seed, progress=progress_callback
+        )
+        out = self._package(results, names, kind="power")
+        if verbose:
+            from .output.report import power_report
+
+            print(power_report(out, alpha=self.alpha))
+        self.last_result = out
+        return out
+
+    def find_sample_size(
+        self,
+        *,
+        target_test: Optional[str] = None,
+        correction: Optional[str] = None,
+        wald_se: Optional[str] = None,
+        agq: Optional[int] = None,
+        test_formula: Optional[str] = None,
+        target_power: Optional[float] = None,
+        from_size: Optional[int] = None,
+        to_size: Optional[int] = None,
+        by: Union[int, str, None] = None,
+        mode: str = "linear",
+        n_sims: Optional[int] = None,
+        seed: Optional[int] = None,
+        scenarios: Union[bool, List[str]] = False,
+        progress_callback: Any = None,
+        verbose: bool = True,
+    ) -> Dict[str, Any]:
+        """Search the smallest N reaching target power (CRN grid search)."""
+        self._ensure_applied()
+        ssb = CONFIG["simulation"]["sample_size_bounds"]
+        from_size = int(from_size) if from_size is not None else ssb["from"]
+        to_size = int(to_size) if to_size is not None else ssb["to"]
+        by = by if by is not None else ssb["by"]
+        tpow = float(target_power) if target_power is not None else self.power
+
+        wald_se_r, nagq = self._resolve_estimation(wald_se, agq)
+        names = self._resolve_scenarios_arg(scenarios)
+        self._derive_cluster_count(to_size)
+        projected = self._project(
+            names, target_test=target_test, correction=correction,
+            wald_se=wald_se_r, nagq=nagq, test_formula=test_formula,
+        )
+
+        spec_probe, _ = contract_to_lowered(projected[0].contract, [max(to_size, 4)])
+        atom = gridmod.cluster_atom(spec_probe.cluster)
+        hard_min = gridmod.hard_min_n(spec_probe.cluster)
+        grid_ns, grid_warnings = gridmod.build_grid(
+            from_size, to_size, by, mode, atom, hard_min
+        )
+
+        lowered = []
+        for ps in projected:
+            spec, arrays = contract_to_lowered(ps.contract, grid_ns)
+            lowered.append(
+                runner.LoweredScenario(
+                    label=ps.label, spec=spec, arrays=arrays,
+                    target_labels=ps.target_labels,
+                    posthoc_labels=ps.posthoc_labels,
+                    warnings=ps.warnings + grid_warnings,
+                )
+            )
+
+        n = int(n_sims) if n_sims is not None else self.n_simulations
+        base_seed = self._base_seed(seed)
+        results = runner.find_sample_size(
+            lowered, n_sims=n, base_seed=base_seed, target_power=tpow,
+            atom=atom, progress=progress_callback,
+        )
+        out = self._package(results, names, kind="sample_size")
+        if verbose:
+            from .output.report import sample_size_report
+
+            print(sample_size_report(out, target_power=tpow))
+        self.last_result = out
+        return out
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _base_seed(self, seed) -> int:
+        if seed is not None:
+            return int(seed)
+        if self.seed is not None:
+            return int(self.seed)
+        return 0
+
+    def _derive_cluster_count(self, sample_size: int) -> None:
+        """cluster_size-mode groupings derive n_clusters from N at run time."""
+        for g, cfg in self._clusters.items():
+            if cfg.get("cluster_size") and not cfg.get("n_clusters"):
+                pass  # handled by sizing_mode=fixed_size in the projection
+
+    def _check_failure_threshold(self, res: Dict) -> None:
+        conv = res.get("convergence_rate", [1.0])
+        worst = min(conv)
+        if 1.0 - worst > self.max_failed_simulations:
+            raise RuntimeError(
+                f"{(1.0 - worst) * 100:.1f}% of simulations failed to converge "
+                f"(> max_failed_simulations={self.max_failed_simulations}); "
+                "the design is likely unstable at this N"
+            )
+
+    def _package(self, results: Dict[str, Dict], names: List[str], kind: str):
+        for res in results.values():
+            self._check_failure_threshold(res)
+            res["result_kind"] = kind
+            res["family"] = self.family
+            res["formula"] = self._registry.formula
+        if len(names) == 1:
+            return results[names[0]]
+        return {
+            "scenarios": results,
+            "comparison": {
+                "labels": names,
+                "power_corrected_by_scenario": {
+                    n: results[n]["powers"]["corrected"] for n in names
+                },
+            },
+            "result_kind": kind,
+        }
+
+    def summary(self) -> Dict[str, Any]:
+        self._ensure_applied()
+        return {
+            "formula": self._registry.formula,
+            "family": self.family,
+            "estimator": self.estimator,
+            "effects": dict(self._effects),
+            "predictors": self._registry.predictor_names,
+            "effect_names": self._registry.effect_names,
+            "alpha": self.alpha,
+            "n_simulations": self.n_simulations,
+            "seed": self.seed,
+            "clusters": dict(self._clusters),
+        }
+
+    def __repr__(self) -> str:
+        return (
+            f"MCPower({self._registry.formula!r}, family={self.family!r}, "
+            f"estimator={self.estimator!r})"
+        )
+
+
+def _test_design_terms(test_parsed, contract, registry):
+    """Build the misspecified-test design term list for test_formula=."""
+    terms = [("const",)]
+    col_of = {n: i for i, n in enumerate(registry.predictor_names)}
+    pos_of: Dict[Any, int] = {}
+    for t in test_parsed.terms:
+        if t["kind"] == "main":
+            name = t["name"]
+            if name not in col_of:
+                raise ValueError(f"test_formula references unknown predictor {name!r}")
+            if registry.var_info(name)["type"] == "factor":
+                for lvl in range(2, registry.factor_levels(name) + 1):
+                    terms.append(("dummy", col_of[name], lvl - 1))
+                    pos_of[(name, lvl)] = len(terms) - 1
+            else:
+                terms.append(("direct", col_of[name]))
+                pos_of[name] = len(terms) - 1
+    for t in test_parsed.terms:
+        if t["kind"] == "interaction":
+            for _, parts in registry.interaction_effect_names(t["vars"]):
+                comp = []
+                for v, lvl in parts:
+                    key = v if lvl == 0 else (v, lvl)
+                    if key not in pos_of:
+                        raise ValueError(
+                            "test_formula interaction needs its main terms present"
+                        )
+                    comp.append(pos_of[key])
+                terms.append(("interaction", comp))
+    return terms

@@ -1,0 +1,184 @@
+"""End-to-end user API: the MCPower class drives the full stack."""
+
+import numpy as np
+import pytest
+
+from mcpower_tpu import MCPower
+
+
+def test_simple_regression_find_power():
+    m = MCPower("y ~ x1 + x2")
+    m.set_effects("x1=0.3, x2=0.2").set_simulations(1200).set_seed(42)
+    res = m.find_power(sample_size=120, verbose=False)
+    assert res["target_labels"] == ["x1", "x2"]
+    p1 = res["power_uncorrected"] if "power_uncorrected" in res else None
+    p_x1 = res["powers"]["uncorrected"][0][0]
+    p_x2 = res["powers"]["uncorrected"][0][1]
+    assert p_x1 > p_x2 > 0.3
+    assert res["overall_significant_rate"] is not None
+    assert res["result_kind"] == "power"
+
+
+def test_chained_setters_and_scenarios_envelope():
+    m = (
+        MCPower("y ~ x1*x2")
+        .set_effects({"x1": 0.4, "x2": 0.3, "x1:x2": 0.2})
+        .set_correlations("corr(x1, x2)=0.3")
+        .set_simulations(600)
+    )
+    res = m.find_power(sample_size=150, scenarios=True, verbose=False)
+    assert set(res["scenarios"]) == {"optimistic", "realistic", "doomer"}
+    p_opt = res["scenarios"]["optimistic"]["powers"]["uncorrected"][0][0]
+    p_doom = res["scenarios"]["doomer"]["powers"]["uncorrected"][0][0]
+    assert p_doom < p_opt  # robustness scenarios cost power
+
+
+def test_factor_anova_with_posthoc():
+    m = MCPower("y ~ g")
+    m.set_variable_type("g=(factor,0.4,0.3,0.3)")
+    m.set_effects("g[2]=0.5, g[3]=0.25")
+    m.set_simulations(800)
+    res = m.find_power(
+        sample_size=120, target_test="all, all-contrasts", verbose=False
+    )
+    assert res["target_labels"] == ["g[2]", "g[3]"]
+    assert "g" in res["posthoc"]
+    assert set(res["posthoc"]["g"]) == {
+        "g[1] vs g[2]", "g[1] vs g[3]", "g[2] vs g[3]",
+    }
+    # g[2] carries the bigger effect
+    assert (
+        res["powers"]["uncorrected"][0][0] > res["powers"]["uncorrected"][0][1]
+    )
+
+
+def test_logit_with_baseline_probability():
+    m = MCPower("y ~ x1", family="logit")
+    m.set_baseline_probability(0.3)
+    m.set_effects("x1=0.4")
+    m.set_simulations(800)
+    res = m.find_power(sample_size=250, verbose=False)
+    assert 0.4 < res["powers"]["uncorrected"][0][0] < 0.95
+    extras = res["estimator_extras"]["glm"]
+    assert abs(extras["baseline_prob_realized"][0] - 0.3) < 0.05
+
+
+def test_poisson_with_baseline_rate():
+    m = MCPower("y ~ x1", family="poisson")
+    m.set_baseline_rate(2.0)
+    m.set_effects("x1=0.15")
+    m.set_simulations(600)
+    res = m.find_power(sample_size=200, verbose=False)
+    assert res["powers"]["uncorrected"][0][0] > 0.5
+
+
+def test_lme_random_intercept():
+    m = MCPower("y ~ x + (1|site)", family="lme")
+    m.set_cluster("site", ICC=0.2, n_clusters=20)
+    m.set_effects("x=0.35")
+    m.set_simulations(500)
+    res = m.find_power(sample_size=200, verbose=False)
+    assert res["estimator"] == "mle"
+    assert 0.8 < res["powers"]["uncorrected"][0][0] <= 1.0
+    assert "tau_squared_hat_mean" in res["estimator_extras"]["mle"]
+
+
+def test_lme_estimator_override_ols():
+    m = MCPower("y ~ x + (1|site)", family="lme", estimator="ols")
+    m.set_cluster("site", ICC=0.3, n_clusters=20)
+    m.set_effects("x=0.3")
+    m.set_simulations(400)
+    res = m.find_power(sample_size=200, verbose=False)
+    assert res["estimator"] == "ols"
+
+
+def test_find_sample_size_end_to_end():
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.3").set_simulations(1200)
+    res = m.find_sample_size(from_size=30, to_size=300, verbose=False)
+    fit = res["fitted"]["x1"]
+    assert fit["kind"] == "fitted"
+    assert 60 <= fit["n_achievable"] <= 120
+    assert res["first_achieved"]["x1"] is not None
+
+
+def test_cluster_snapping_warning():
+    m = MCPower("y ~ x + (1|site)", family="lme")
+    m.set_cluster("site", ICC=0.2, n_clusters=20)
+    m.set_effects("x=0.3").set_simulations(200)
+    res = m.find_power(sample_size=205, verbose=False)
+    assert res["sample_sizes"] == [200]
+    assert any("cluster atom" in w for w in res["warnings"])
+
+
+def test_correction_argument_aliases():
+    m = MCPower("y ~ x1 + x2 + x3")
+    m.set_effects("x1=0.3, x2=0.3, x3=0.3").set_simulations(500)
+    res = m.find_power(sample_size=100, correction="fdr", verbose=False)
+    assert res["alpha_correction"] == "benjamini_hochberg"
+    p_corr = np.asarray(res["powers"]["corrected"][0])
+    p_unc = np.asarray(res["powers"]["uncorrected"][0])
+    assert np.all(p_corr <= p_unc + 1e-12)
+
+
+def test_target_test_dsl():
+    m = MCPower("y ~ x1 + x2")
+    m.set_effects("x1=0.4, x2=0.3").set_simulations(300)
+    res = m.find_power(
+        sample_size=100, target_test="all, -x2, overall", verbose=False
+    )
+    assert res["target_labels"] == ["x1"]
+    assert res["overall_significant_rate"] is not None
+
+
+def test_error_paths():
+    m = MCPower("y ~ x1")
+    with pytest.raises(ValueError, match="unknown assignment name"):
+        m.set_effects("bogus=0.5")
+        m.find_power(sample_size=50, n_sims=10, verbose=False)
+    with pytest.raises(ValueError, match="family"):
+        MCPower("y ~ x", family="weibull")
+    with pytest.raises(ValueError, match="grouping"):
+        MCPower("y ~ x + (1|g)", family="lme").set_cluster("h", ICC=0.2, n_clusters=10)
+    m2 = MCPower("y ~ x", family="logit")
+    with pytest.raises(ValueError, match="baseline_rate"):
+        m2.set_baseline_rate(2.0)
+
+
+def test_reports_render():
+    from mcpower_tpu.output.report import power_report, sample_size_report
+
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.4").set_simulations(400)
+    res = m.find_power(sample_size=100, correction="bonferroni", verbose=False)
+    txt = power_report(res)
+    assert "Power" in txt and "x1" in txt and "CI 95%" in txt
+    res2 = m.find_sample_size(from_size=30, to_size=200, n_sims=400, verbose=False)
+    txt2 = sample_size_report(res2)
+    assert "Required N" in txt2 and "x1" in txt2
+
+
+def test_contract_roundtrip_and_validation():
+    from mcpower_tpu.contract.types import SimulationContract
+    from mcpower_tpu.contract.validate import ContractError, validate
+    from mcpower_tpu.specbuilder.project import build_contracts
+    from mcpower_tpu.specbuilder.variables import VariableRegistry
+
+    reg = VariableRegistry("y ~ x1*x2 + g")
+    reg.set_variable_type("g", {"type": "factor", "n_levels": 3,
+                                "proportions": [1 / 3] * 3})
+    ps = build_contracts(reg, effects={"x1": 0.3, "g[2]": 0.2})[0]
+    c = ps.contract
+    validate(c)
+    # JSON round-trip preserves everything
+    c2 = SimulationContract.from_json(c.to_json())
+    assert c2.to_dict() == c.to_dict()
+    # invariant 01: wrong coefficient count
+    c2.outcome.coefficients = c2.outcome.coefficients[:-1]
+    with pytest.raises(ContractError, match="invariant 01"):
+        validate(c2)
+    # invariant 15: bad alpha
+    c3 = SimulationContract.from_json(c.to_json())
+    c3.test.alpha = 1.5
+    with pytest.raises(ContractError, match="invariant 15"):
+        validate(c3)
