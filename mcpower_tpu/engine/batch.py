@@ -51,13 +51,24 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
     if spec.estimator == "ols":
         stats = olsfit.ols_grid_stats(spec, arr, X, y)
     elif spec.estimator == "glm":
-        from . import glmfit
+        if spec.cluster is not None:
+            # clustered binary/count: GLMM via penalized IRLS + Laplace
+            from . import glmmfit
 
-        stats = glmfit.glm_grid_stats(spec, arr, X, y, ids)
+            stats = glmmfit.glmm_grid_stats(spec, arr, X, y, ids)
+        else:
+            from . import glmfit
+
+            stats = glmfit.glm_grid_stats(spec, arr, X, y, ids)
     elif spec.estimator == "mle":
-        from . import mixedfit
+        if spec.outcome != "continuous":
+            from . import glmmfit
 
-        stats = mixedfit.mixed_grid_stats(spec, arr, X, y, ids)
+            stats = glmmfit.glmm_grid_stats(spec, arr, X, y, ids)
+        else:
+            from . import mixedfit
+
+            stats = mixedfit.mixed_grid_stats(spec, arr, X, y, ids)
     else:
         raise ValueError(f"unknown estimator {spec.estimator!r}")
 
