@@ -142,15 +142,160 @@ def _golden_minimize(dev_fn, lo: float, hi: float, iters: int):
     return 0.5 * (a + b)
 
 
+# ---------------------------------------------------------------------------
+# Random-slope path: q-dimensional relative covariance Gamma = Lam Lam'
+# (lme4's theta = vech chol parameterization), optimized by the batched
+# fixed-iteration Nelder-Mead in engine.optim.
+# ---------------------------------------------------------------------------
+
+
+def _slope_cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int, q: int, Zf):
+    """Per-cluster prefix suff-stats with a q-column RE design Z.
+
+    Returns per grid g: G (m,q,q), A (m,q,p), b (m,q), n_j (m,), and global
+    xtx/xty/yty.
+    """
+    one_hot = jax.nn.one_hot(ids, m, dtype=jnp.float64)
+    segs = {k: [] for k in ("G", "A", "b", "n", "xtx", "xty", "yty")}
+    prev = 0
+    for n in spec.grid:
+        Xs = jax.lax.slice_in_dim(Xf, prev, n, axis=0)
+        ys = jax.lax.slice_in_dim(yf, prev, n, axis=0)
+        Zs = jax.lax.slice_in_dim(Zf, prev, n, axis=0)
+        hs = jax.lax.slice_in_dim(one_hot, prev, n, axis=0)
+        segs["G"].append(jnp.einsum("nm,nq,nr->mqr", hs, Zs, Zs))
+        segs["A"].append(jnp.einsum("nm,nq,np->mqp", hs, Zs, Xs))
+        segs["b"].append(jnp.einsum("nm,nq,n->mq", hs, Zs, ys))
+        segs["n"].append(jnp.sum(hs, axis=0))
+        segs["xtx"].append(Xs.T @ Xs)
+        segs["xty"].append(Xs.T @ ys)
+        segs["yty"].append(ys @ ys)
+        prev = n
+    return {k: jnp.cumsum(jnp.stack(v), axis=0) for k, v in segs.items()}
+
+
+def _vech_to_lower(theta, q: int):
+    """theta (q(q+1)/2,) -> lower-triangular (q, q), column-major vech."""
+    L = jnp.zeros((q, q), theta.dtype)
+    k = 0
+    for j in range(q):
+        for i in range(j, q):
+            L = L.at[i, j].set(theta[k])
+            k += 1
+    return L
+
+
+def _reml_quantities_q(Lam, G, A, b, xtx, xty, yty, n, p, q):
+    """Profile-REML pieces for the q-dim structure at one (sim, grid) cell."""
+    # C_i = I_q + Lam' G_i Lam  (m, q, q), SPD
+    LtG = jnp.einsum("ij,miq->mjq", Lam, G)  # Lam' G
+    C = jnp.eye(q, dtype=Lam.dtype)[None] + jnp.einsum("mjq,qk->mjk", LtG, Lam)
+    cholC = smallchol.chol(C)
+    # A~ = Lam' A_i : (m, q, p);  b~ = Lam' b_i
+    At = jnp.einsum("ji,mjp->mip", Lam, A)
+    bt = jnp.einsum("ji,mj->mi", Lam, b)  # (m, q)
+    # solve C^{-1} against A~ columns and b~
+    sol_b = smallchol.cho_solve(cholC, bt)  # (m, q)
+    sol_A = jax.vmap(
+        lambda ch, aa: jax.vmap(lambda col: smallchol.cho_solve(ch, col))(aa.T).T,
+    )(cholC, At)  # (m, q, p)
+    a_xx = xtx - jnp.einsum("miq,mip->qp", At, sol_A)
+    a_xy = xty - jnp.einsum("miq,mi->q", At, sol_b)
+    a_yy = yty - jnp.einsum("mi,mi->", bt, sol_b)
+
+    chol = smallchol.chol(a_xx)
+    beta = smallchol.cho_solve(chol, a_xy)
+    rss = a_yy - beta @ a_xy
+    df = n - p
+    sigma2 = rss / df
+    logdet_v = jnp.sum(smallchol.logdet_from_chol(cholC))
+    logdet_xvx = smallchol.logdet_from_chol(chol)
+    dev = logdet_v + logdet_xvx + df * jnp.log(rss)
+    return dev, beta, chol, sigma2
+
+
+def _slope_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
+    from . import optim
+
+    c = spec.cluster
+    m = c.n_clusters_at(spec.max_n)
+    q = c.q
+    d_theta = q * (q + 1) // 2
+    fit_cols = spec.effective_fit_cols
+    pf = len(fit_cols)
+    Xf = X[:, jnp.asarray(fit_cols)].astype(jnp.float64)
+    yf = y.astype(jnp.float64)
+    Zf = jnp.concatenate(
+        [
+            jnp.ones((spec.max_n, 1), jnp.float64),
+            X[:, jnp.asarray([s.design_col for s in c.slopes])].astype(jnp.float64),
+        ],
+        axis=1,
+    )
+    ss = _slope_cluster_suffstats(spec, Xf, yf, ids, m, q, Zf)
+    ns = jnp.asarray(spec.grid, dtype=jnp.float64)
+
+    # Truth start: Gamma_true = D (sigma^2 = 1 in the DGP), theta0 = vech chol D.
+    taus = np.sqrt([max(c.tau_squared, 1e-4)] + [max(s.variance, 1e-4) for s in c.slopes])
+    corr = np.eye(q)
+    for i, s in enumerate(c.slopes):
+        corr[0, 1 + i] = corr[1 + i, 0] = s.intercept_corr
+    for i, si in enumerate(c.slopes):
+        for j, sj in enumerate(c.slopes):
+            if i != j:
+                corr[1 + i, 1 + j] = si.intercept_corr * sj.intercept_corr
+    D = np.outer(taus, taus) * corr
+    L0 = np.linalg.cholesky(D + 1e-10 * np.eye(q))
+    theta0 = np.concatenate([L0[j:, j] for j in range(q)])
+    theta0_j = jnp.asarray(theta0, jnp.float64)
+    # lower bounds: diagonal entries >= 0 (boundary pinning), off-diag free.
+    lower = []
+    k = 0
+    for j in range(q):
+        for i in range(j, q):
+            lower.append(0.0 if i == j else -jnp.inf)
+    lower = jnp.asarray(lower, jnp.float64)
+
+    def per_grid(G, A, b, n_j, xtx, xty, yty, n):
+        def dev_at(theta):
+            Lam = _vech_to_lower(theta, q)
+            dev, *_ = _reml_quantities_q(Lam, G, A, b, xtx, xty, yty, n, pf, q)
+            return jnp.where(jnp.isfinite(dev), dev, jnp.float64(1e30))
+
+        theta_hat, _ = optim.nelder_mead(
+            dev_at, theta0_j, iters=140, init_step=0.3, lower=lower
+        )
+        Lam = _vech_to_lower(theta_hat, q)
+        dev, beta, chol, sigma2 = _reml_quantities_q(
+            Lam, G, A, b, xtx, xty, yty, n, pf, q
+        )
+        cov = sigma2 * smallchol.cho_inverse(chol)
+        diag = jnp.diagonal(Lam)
+        boundary = jnp.any(diag < 1e-4)
+        Gamma = Lam @ Lam.T
+        tau2_hat = Gamma[0, 0] * sigma2
+        converged = jnp.isfinite(dev) & jnp.all(jnp.isfinite(beta)) & (sigma2 > 0)
+        return beta, cov, converged, boundary, tau2_hat
+
+    beta, cov, converged, boundary, tau2_hat = jax.vmap(per_grid)(
+        ss["G"], ss["A"], ss["b"], ss["n"], ss["xtx"], ss["xty"], ss["yty"], ns
+    )
+    return _assemble_outputs(spec, beta, cov, converged, boundary, tau2_hat)
+
+
 def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
     """All LMM (REML) test statistics for one sim across the grid.
 
-    Random-intercept primary grouping. Random slopes and extra groupings
-    currently fall back to the intercept-only variance structure (full
-    support lands with the Nelder-Mead theta search).
+    Random-intercept primary grouping uses the 1-D golden-section path;
+    primary random slopes use the q-dim Nelder-Mead theta search. Extra
+    groupings contribute to generation but the fitted variance structure is
+    the primary grouping's (documented approximation until the multi-factor
+    solver lands).
     """
     c = spec.cluster
     assert c is not None, "mle estimator requires a cluster spec"
+    if c.slopes:
+        return _slope_grid_stats(spec, arr, X, y, ids)
     m = c.n_clusters_at(spec.max_n)
 
     fit_cols = spec.effective_fit_cols
@@ -199,7 +344,12 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
     beta, cov, converged, boundary, tau2_hat = jax.vmap(per_grid)(
         n_j_g, s_g, t_g, xtx_g, xty_g, yty_g, ns
     )
+    return _assemble_outputs(spec, beta, cov, converged, boundary, tau2_hat)
 
+
+def _assemble_outputs(spec: SimSpec, beta, cov, converged, boundary, tau2_hat):
+    """t^2 / omnibus / posthoc assembly shared by both LMM paths."""
+    fit_cols = spec.effective_fit_cols
     cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
     t2_cols = []
     for tcol in spec.target_cols:
