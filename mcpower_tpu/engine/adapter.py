@@ -298,6 +298,26 @@ def contract_to_lowered(
         icc_noise_sd=c.scenario.icc_noise_sd,
     )
 
+    # Uploaded frame: per-column frame indices in engine layout.
+    upload_frame = None
+    bootstrap = False
+    up_cont = [-1] * len(non_factor_gen)
+    up_fact = [-1] * len(factor_gen)
+    if c.generation.frame is not None and c.generation.frame.n_rows > 0:
+        fr = c.generation.frame
+        upload_frame = np.asarray(fr.data, dtype=np.float64).reshape(
+            fr.n_rows, fr.n_cols
+        )
+        bootstrap = fr.bootstrap
+        for pos, i in enumerate(non_factor_gen):
+            col = c.generation.columns[i]
+            if col.frame_col is not None:
+                up_cont[pos] = int(col.frame_col)
+        for pos, i in enumerate(factor_gen):
+            col = c.generation.columns[i]
+            if col.frame_col is not None:
+                up_fact[pos] = int(col.frame_col)
+
     return lower_mod.lower(
         grid=grid,
         alpha=c.test.alpha,
@@ -327,4 +347,8 @@ def contract_to_lowered(
         wald_se=c.estimator.wald_se,
         nagq=c.estimator.nagq,
         factor_min_level_count=int(CONFIG["limits"]["factor_min_level_count"]),
+        upload_frame=upload_frame,
+        bootstrap=bootstrap,
+        upload_cont_frame_cols=up_cont,
+        upload_factor_frame_cols=up_fact,
     )

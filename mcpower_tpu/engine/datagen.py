@@ -417,6 +417,8 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
     L, var_codes, resid_code, tau2_eff = _design_draw(spec, arr, key)
 
     # --- continuous block: planar normals -> Cholesky mix -> marginals ---
+    from .spec import DIST_UPLOADED, DIST_UPLOADED_BINARY
+
     cols = []
     if spec.n_cont > 0:
         z = jnp.stack(
@@ -428,10 +430,37 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
         for j in range(spec.n_cont):
             xj = mixed[:, j]
             pj = arr["var_params"][j]
-            if dynamic_types:
+            base = spec.var_types[j]
+            if base == DIST_UPLOADED:
+                # Gaussian-copula NORTA: z -> u -> inverse empirical CDF of
+                # the uploaded column (data_gen.rs:1262 empirical_quantile).
+                u = rng.norm_cdf(xj)
+                n_up = max(spec.upload_rows, 1)
+                idx = jnp.clip((u * n_up).astype(jnp.int32), 0, n_up - 1)
+                cols.append(arr[f"upload_sorted_{j}"][idx])
+            elif base == DIST_UPLOADED_BINARY:
+                u = rng.norm_cdf(xj)
+                cols.append(
+                    jnp.where(u >= 1.0 - pj, jnp.float32(1.0), jnp.float32(0.0))
+                )
+            elif dynamic_types:
                 cols.append(marginals.apply_marginal(xj, var_codes[j], pj))
             else:
-                cols.append(marginals.apply_marginal_static(xj, spec.var_types[j], pj))
+                cols.append(marginals.apply_marginal_static(xj, base, pj))
+
+    # --- strict-bootstrap row picks (one shared source row per design row
+    # preserves the exact empirical joint — data_gen.rs bootstrap arm) ---
+    if spec.bootstrap and spec.upload_rows > 0:
+        u_boot = rng.uniform(key, rng.CLASS_BOOT, 0, rows)
+        boot_r = jnp.clip(
+            (u_boot * spec.upload_rows).astype(jnp.int32), 0, spec.upload_rows - 1
+        )
+        frame = arr["boot_frame"]  # (n_rows, n_frame_cols) f32
+        for j, fc in enumerate(spec.upload_cont_frame_cols):
+            if fc >= 0:
+                cols[j] = frame[boot_r, fc]
+    else:
+        boot_r = None
 
     # --- factor block: reference-coded dummies ---
     factor_level_codes = []
@@ -441,7 +470,14 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
             sampled = sc.sampled_factor_proportions
         off = sum(spec.factor_levels[:f])
         probs = arr["factor_props"][off : off + n_levels]
-        if sampled:
+        fc = (
+            spec.upload_factor_frame_cols[f]
+            if f < len(spec.upload_factor_frame_cols)
+            else -1
+        )
+        if boot_r is not None and fc >= 0:
+            lvl = arr["boot_frame"][boot_r, fc].astype(jnp.int32)
+        elif sampled:
             u = rng.uniform(key, rng.CLASS_FACTOR, f, rows)
             cdf = jnp.cumsum(probs) / jnp.sum(probs)
             lvl = jnp.sum(u[:, None] >= cdf[None, :-1], axis=1).astype(jnp.int32)

@@ -117,6 +117,11 @@ def lower(
     wald_se: str = "rx",
     nagq: int = 1,
     factor_min_level_count: int = 5,
+    # uploaded pilot data
+    upload_frame: Optional[np.ndarray] = None,  # (rows, frame_cols) float
+    bootstrap: bool = False,
+    upload_cont_frame_cols: Sequence[int] = (),
+    upload_factor_frame_cols: Sequence[int] = (),
 ) -> Tuple[SimSpec, Dict]:
     """Assemble the static spec and the traced array dict for one scenario."""
     grid = tuple(int(n) for n in grid)
@@ -159,6 +164,12 @@ def lower(
         wald_se=wald_se,
         nagq=nagq,
         factor_min_level_count=factor_min_level_count,
+        upload_rows=0 if upload_frame is None else int(upload_frame.shape[0]),
+        bootstrap=bool(bootstrap and upload_frame is not None),
+        upload_cont_frame_cols=tuple(upload_cont_frame_cols)
+        or tuple([-1] * n_cont),
+        upload_factor_frame_cols=tuple(upload_factor_frame_cols)
+        or tuple([-1] * len(factor_levels)),
     )
     spec.validate_layout()
 
@@ -214,6 +225,17 @@ def lower(
         "het_col_mean": jnp.asarray(col_mu, jnp.float64),
         "het_col_std": jnp.asarray(col_sd, jnp.float64),
     }
+
+    # Uploaded-frame device arrays: sorted columns for NORTA quantiles,
+    # the raw frame for strict bootstrap row copies.
+    if upload_frame is not None:
+        frame = np.asarray(upload_frame, dtype=np.float32)
+        arrays["boot_frame"] = jnp.asarray(frame)
+        for j, fc in enumerate(spec.upload_cont_frame_cols):
+            if fc >= 0 and spec.var_types[j] == DIST_CODES["uploaded"]:
+                arrays[f"upload_sorted_{j}"] = jnp.asarray(
+                    np.sort(frame[:, fc]), jnp.float32
+                )
 
     # Deterministic factor walks (host; pure function of proportions).
     off = 0

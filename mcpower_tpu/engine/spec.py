@@ -222,6 +222,13 @@ class SimSpec:
     wald_se: str = "rx"  # "rx" | "hessian"
     nagq: int = 1
     factor_min_level_count: int = 5
+    # Uploaded pilot data (NORTA / strict bootstrap)
+    upload_rows: int = 0  # frame row count (0 = no upload)
+    bootstrap: bool = False  # strict whole-row resampling
+    # per engine continuous column: frame column index or -1 (synthetic);
+    # per factor: frame column index or -1
+    upload_cont_frame_cols: Tuple[int, ...] = ()
+    upload_factor_frame_cols: Tuple[int, ...] = ()
 
     # ---- derived layout ----
     @property

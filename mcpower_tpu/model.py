@@ -342,6 +342,69 @@ class MCPower:
         self._applied = False
         return self
 
+    def upload_data(self, data, *, mode: str = "partial") -> "MCPower":
+        """Attach pilot data to drive the generation process.
+
+        ``mode='partial'`` (NORTA): uploaded columns keep their empirical
+        marginals through the Gaussian copula; correlations are measured
+        (Spearman -> latent scale) unless you set them explicitly.
+        ``mode='strict'``: whole pilot rows are bootstrap-resampled, exactly
+        preserving the empirical joint. Column types are auto-detected and
+        type-locked against the model's declarations.
+        """
+        from .data.upload import prepare_upload, UploadError
+
+        self._ensure_applied()
+        # Only EXPLICIT type declarations lock against detection; the default
+        # "normal" placeholder defers to what the data says.
+        declared = {
+            n: self._registry.var_info(n)["type"]
+            for n in self._registry.predictor_names
+            if self._registry._pinned.get(n)
+        }
+        up = prepare_upload(data, mode=mode, declared_types=declared)
+        extra = [
+            n for n in up.columns
+            if n not in self._registry.predictor_names
+            and n != self._registry.dependent
+        ]
+        # extra columns (incl. a y column for get_effects_from_data) are kept
+        # but only predictor columns drive generation
+        self._uploaded = up
+        # type-lock: detection updates the registry's view of uploaded columns
+        for n, col in up.columns.items():
+            if n not in self._registry.predictor_names:
+                continue
+            if col.kind == "factor":
+                self._registry.set_variable_type(
+                    n, {"type": "factor", "n_levels": col.n_levels,
+                        "proportions": list(col.proportions)},
+                )
+            elif col.kind == "binary":
+                self._registry.set_variable_type(
+                    n, {"type": "binary", "proportion": col.param}
+                )
+        return self
+
+    def get_effects_from_data(self, y: Optional[str] = None, *, verbose: bool = True) -> str:
+        """Fit the model to the uploaded pilot data and return a standardized
+        effect-size string you can paste into set_effects."""
+        if self._uploaded is None:
+            raise RuntimeError("call upload_data() first")
+        self._ensure_applied()
+        y_name = y or self._registry.dependent
+        if y_name not in self._uploaded.columns:
+            raise ValueError(f"outcome column {y_name!r} not in the uploaded data")
+        from .data.recover import recover_effects
+
+        eff, diag = recover_effects(
+            self._registry, self._uploaded, y_name, self.family
+        )
+        s = ", ".join(f"{k}={v:.4f}" for k, v in eff.items())
+        if verbose:
+            print(f"Recovered effects ({diag}):\n  {s}")
+        return s
+
     def set_scenario_configs(self, configs: Dict[str, Dict[str, Any]]) -> "MCPower":
         for label, cfg in configs.items():
             base = self._scenario_configs.setdefault(
@@ -481,6 +544,7 @@ class MCPower:
             wald_se=wald_se,
             nagq=nagq,
             max_failed_fraction=self.max_failed_simulations,
+            upload=self._uploaded,
         )
         if test_formula is not None:
             from .specbuilder.formula import parse_formula

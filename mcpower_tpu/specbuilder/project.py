@@ -96,9 +96,16 @@ def build_contracts(
     nagq: int = 1,
     max_failed_fraction: float = 0.1,
     effective_n_clusters: Optional[int] = None,
+    upload=None,  # data.upload.UploadedData
 ) -> List[ProjectedScenario]:
     effects = effects or {}
     parsed = registry.parsed
+    upload_names = (
+        [n for n in registry.predictor_names if upload and n in upload.columns]
+        if upload
+        else []
+    )
+    frame_col_of = {n: i for i, n in enumerate(upload_names)}
 
     # --- generation columns (one per predictor, registry order) ---
     columns: List[ColumnSpec] = []
@@ -106,7 +113,34 @@ def build_contracts(
     for name in registry.predictor_names:
         info = registry.var_info(name)
         vt = info["type"]
-        if vt == "factor":
+        up = upload.columns.get(name) if (upload and name in frame_col_of) else None
+        if up is not None and up.kind == "factor":
+            columns.append(
+                ColumnSpec(
+                    kind="factor_from_frame",
+                    n_levels=up.n_levels,
+                    proportions=list(up.proportions),
+                    frame_col=frame_col_of[name],
+                )
+            )
+        elif up is not None and up.kind == "binary":
+            columns.append(
+                ColumnSpec(
+                    kind="resampled_binary",
+                    param=up.param,
+                    frame_col=frame_col_of[name],
+                    pinned=True,
+                )
+            )
+        elif up is not None:
+            columns.append(
+                ColumnSpec(
+                    kind="resampled",
+                    frame_col=frame_col_of[name],
+                    pinned=True,
+                )
+            )
+        elif vt == "factor":
             columns.append(
                 ColumnSpec(
                     kind="factor_synthetic",
@@ -183,6 +217,15 @@ def build_contracts(
                 f"correlation matrix is {len(corr)}x{len(corr)}, but there are "
                 f"{len(non_factor)} non-factor predictors"
             )
+    if upload and upload.measured_correlations:
+        # Measured Spearman->latent correlations seed the matrix; explicit
+        # user pairs (below) take precedence (upload.rs measure_correlations).
+        m = np.asarray(corr, dtype=np.float64) if corr else np.eye(len(non_factor))
+        idx = {n: i for i, n in enumerate(non_factor)}
+        for (a, b), r in upload.measured_correlations.items():
+            if a in idx and b in idx:
+                m[idx[a], idx[b]] = m[idx[b], idx[a]] = float(r)
+        corr = m.tolist()
     if correlation_pairs:
         m = np.asarray(corr, dtype=np.float64) if corr else np.eye(len(non_factor))
         idx = {n: i for i, n in enumerate(non_factor)}
@@ -307,6 +350,18 @@ def build_contracts(
                 labels.append(f"{fname}[{a}] vs {fname}[{b}]")
         posthoc_labels[fname] = labels
 
+    frame = None
+    if upload and upload_names:
+        from ..contract.types import UploadedFrame
+
+        mat = upload.frame_matrix(upload_names)
+        frame = UploadedFrame(
+            n_rows=int(mat.shape[0]),
+            n_cols=int(mat.shape[1]),
+            data=[float(v) for v in mat.reshape(-1)],
+            bootstrap=upload.mode == "strict",
+        )
+
     out: List[ProjectedScenario] = []
     for label in scenario_labels:
         cfg = (scenario_configs or {}).get(label, {})
@@ -315,6 +370,7 @@ def build_contracts(
                 columns=[ColumnSpec(**vars(c)) for c in columns],
                 correlations=corr or [],
                 cluster=cluster,
+                frame=frame,
             ),
             design=list(design),
             outcome=OutcomeSpec(

@@ -1,0 +1,142 @@
+"""Pilot-data path: detection, NORTA marginals, strict bootstrap, recovery."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mcpower_tpu import MCPower
+from mcpower_tpu.data.upload import (
+    UploadError,
+    detect_column_kind,
+    prepare_upload,
+    spearman_latent,
+)
+from mcpower_tpu.engine import datagen
+
+
+def _pilot(n=400, seed=0):
+    rs = np.random.RandomState(seed)
+    x1 = rs.gamma(2.0, 2.0, size=n)  # right-skewed continuous
+    x2 = 0.5 * (x1 - x1.mean()) / x1.std() + rs.normal(size=n)  # correlated
+    b = (rs.uniform(size=n) < 0.35).astype(float)
+    g = rs.choice([1, 2, 3], size=n, p=[0.5, 0.3, 0.2]).astype(float)
+    y = 0.4 * (x1 - x1.mean()) / x1.std() + 0.3 * b + rs.normal(size=n)
+    return {"x1": x1, "x2": x2, "b": b, "g": g, "y": y}
+
+
+def test_type_detection():
+    d = _pilot()
+    assert detect_column_kind(np.asarray(d["x1"]))[0] == "continuous"
+    assert detect_column_kind(np.asarray(d["b"]))[0] == "binary"
+    assert detect_column_kind(np.asarray(d["g"]))[0] == "factor"
+    with pytest.raises(UploadError, match="constant"):
+        detect_column_kind(np.ones(50))
+
+
+def test_prepare_standardizes_and_measures():
+    up = prepare_upload(_pilot())
+    assert abs(up.columns["x1"].values.mean()) < 1e-12
+    assert abs(up.columns["x1"].values.std() - 1.0) < 1e-12
+    assert up.columns["b"].kind == "binary"
+    assert abs(up.columns["b"].param - 0.35) < 0.05
+    assert up.columns["g"].n_levels == 3
+    r = up.measured_correlations[("x1", "x2")]
+    assert 0.25 < r < 0.55  # latent scale of the induced correlation
+
+
+def test_spearman_latent_recovers_gaussian_r():
+    rs = np.random.RandomState(3)
+    z = rs.multivariate_normal([0, 0], [[1, 0.6], [0.6, 1]], size=5000)
+    # monotone transforms leave the latent estimate unchanged
+    x = np.exp(z[:, 0])
+    y = z[:, 1] ** 3
+    assert abs(spearman_latent(x, y) - 0.6) < 0.03
+
+
+def test_norta_preserves_empirical_marginal():
+    d = _pilot()
+    m = MCPower("y ~ x1 + b")
+    m.set_effects("x1=0.4, b=0.3").set_simulations(50)
+    m.upload_data(d, mode="partial")
+    ps = m._project(["optimistic"], target_test=None, correction=None,
+                    wald_se="rx", nagq=1)[0]
+    from mcpower_tpu.engine.adapter import contract_to_lowered
+
+    spec, arrays = contract_to_lowered(ps.contract, [2000])
+    X, y, _ = datagen.generate_batch(
+        spec, arrays, jnp.uint32(7), jnp.uint32(0),
+        jnp.arange(4, dtype=jnp.uint32),
+    )
+    x1_gen = np.asarray(X)[:, :, 1].reshape(-1)
+    # the generated marginal is the standardized pilot marginal: same skew
+    pilot_std = (d["x1"] - d["x1"].mean()) / d["x1"].std()
+    from scipy import stats
+
+    assert abs(x1_gen.mean()) < 0.05
+    assert abs(stats.skew(x1_gen) - stats.skew(pilot_std)) < 0.25
+    b_gen = np.asarray(X)[:, :, 2].reshape(-1)
+    assert abs(b_gen.mean() - 0.35) < 0.03
+
+
+def test_strict_bootstrap_rows_come_from_pilot():
+    d = _pilot(n=100)
+    m = MCPower("y ~ x1 + b")
+    m.set_effects("x1=0.4, b=0.3")
+    m.upload_data(d, mode="strict")
+    ps = m._project(["optimistic"], target_test=None, correction=None,
+                    wald_se="rx", nagq=1)[0]
+    assert ps.contract.generation.frame.bootstrap
+    from mcpower_tpu.engine.adapter import contract_to_lowered
+
+    spec, arrays = contract_to_lowered(ps.contract, [300])
+    X, y, _ = datagen.generate_batch(
+        spec, arrays, jnp.uint32(7), jnp.uint32(0),
+        jnp.asarray([0], dtype=jnp.uint32),
+    )
+    x1_gen = np.asarray(X)[0, :, 1]
+    b_gen = np.asarray(X)[0, :, 2]
+    pilot_std = np.sort(
+        np.unique(((d["x1"] - d["x1"].mean()) / d["x1"].std()).astype(np.float32))
+    )
+    # every generated x1 value is an exact pilot value (f32 frame precision)
+    assert np.all(np.isin(x1_gen, pilot_std))
+    # joint preserved: x1/b pairs must co-occur as in the pilot
+    pilot_x32 = ((d["x1"] - d["x1"].mean()) / d["x1"].std()).astype(np.float32)
+    pairs_pilot = set(zip(pilot_x32.tolist(), d["b"].tolist()))
+    pairs_gen = set(zip(x1_gen.tolist(), b_gen.astype(np.float64).tolist()))
+    assert pairs_gen <= pairs_pilot
+
+
+def test_upload_power_run_end_to_end():
+    d = _pilot()
+    m = MCPower("y ~ x1 + b")
+    m.set_effects("x1=0.35, b=0.3").set_simulations(400)
+    m.upload_data(d, mode="partial")
+    res = m.find_power(sample_size=150, verbose=False)
+    assert 0.5 < res["powers"]["uncorrected"][0][0] <= 1.0
+
+
+def test_get_effects_from_data():
+    d = _pilot(n=2000, seed=5)
+    m = MCPower("y ~ x1 + b")
+    m.upload_data(d, mode="partial")
+    s = m.get_effects_from_data("y", verbose=False)
+    eff = dict(kv.split("=") for kv in s.replace(" ", "").split(","))
+    assert abs(float(eff["x1"]) - 0.4) < 0.08
+    assert abs(float(eff["b"]) - 0.3) < 0.12
+
+
+def test_type_lock_conflict():
+    d = _pilot()
+    m = MCPower("y ~ x1 + b")
+    m.set_variable_type("x1=binary")  # conflicts with continuous data
+    with pytest.raises(UploadError, match="declared binary"):
+        m.upload_data(d)
+
+
+def test_min_rows_guard():
+    tiny = {k: v[:10] for k, v in _pilot().items()}
+    m = MCPower("y ~ x1")
+    with pytest.raises(UploadError, match="rows"):
+        m.upload_data(tiny)
