@@ -742,6 +742,57 @@ class MCPower:
             "result_kind": kind,
         }
 
+    def debug(
+        self,
+        sample_size: int,
+        *,
+        stages: Optional[List[str]] = None,
+        n_sims: int = 200,
+        seed: Optional[int] = None,
+        scenario: str = "optimistic",
+    ) -> Dict[str, Any]:
+        """Staged introspection report (input/data/dispatch/stats/crit/power).
+
+        Re-walks the same deterministic seed chain the production run uses
+        and captures every intermediate the engine computes — the deep
+        observability path (reference debug.rs / introspect.rs)."""
+        from .orchestrator.debug import STAGES, debug_report
+
+        self._ensure_applied()
+        ps = self._project(
+            [scenario], target_test=None, correction=None, wald_se="rx", nagq=1
+        )[0]
+        spec, arrays = contract_to_lowered(ps.contract, [int(sample_size)])
+        return debug_report(
+            spec,
+            arrays,
+            contract_dict=ps.contract.to_dict(),
+            target_labels=ps.target_labels,
+            base_seed=self._base_seed(seed),
+            n_sims=n_sims,
+            stages=tuple(stages) if stages else STAGES,
+        )
+
+    def plot_power(self, result: Optional[Dict] = None) -> Dict[str, Dict]:
+        """Vega-Lite plot bundle for the last (or given) find_power result."""
+        from .output.plotting import power_plot_set
+
+        res = result or self.last_result
+        if res is None:
+            raise RuntimeError("run find_power first")
+        return power_plot_set(res if "scenarios" not in res else
+                              next(iter(res["scenarios"].values())))
+
+    def plot_sample_size(self, result: Optional[Dict] = None) -> Dict[str, Dict]:
+        """Vega-Lite plot bundle for the last find_sample_size result."""
+        from .output.plotting import sample_size_plot_set
+
+        res = result or self.last_result
+        if res is None:
+            raise RuntimeError("run find_sample_size first")
+        return sample_size_plot_set(res if "scenarios" not in res else
+                                    next(iter(res["scenarios"].values())))
+
     def summary(self) -> Dict[str, Any]:
         self._ensure_applied()
         return {
