@@ -66,6 +66,11 @@ def fixed_allocation_codes(probs, n: int) -> np.ndarray:
     at every grid prefix (reference: data_gen.rs:943 ``fixed_level_next``).
     Runs on host because it depends only on (probs, row), never on the sim.
     """
+    from .. import native
+
+    fast = native.fixed_alloc(probs, n)
+    if fast is not None:
+        return fast
     p = np.asarray(probs, dtype=np.float64)
     total = p.sum()
     p = p / total if total > 0 else np.full_like(p, 1.0 / len(p))

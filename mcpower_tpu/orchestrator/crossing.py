@@ -48,6 +48,11 @@ class CrossingFit:
 
 def pava(y: Sequence[float]) -> np.ndarray:
     """Least-squares non-decreasing fit (pool adjacent violators), unweighted."""
+    from .. import native
+
+    fast = native.pava(y)
+    if fast is not None:
+        return fast
     means: List[float] = []
     lens: List[int] = []
     for v in y:
