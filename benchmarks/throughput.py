@@ -1,0 +1,139 @@
+"""Frozen throughput grid: replicate fits/sec per engine arm, vs a baseline.
+
+The analogue of the reference's regression bench (crates/engine-core/src/bin/
+throughput.rs: 21 frozen cases, fits/sec, median of 3, flag >10% drops): a
+fixed case grid covering every estimator arm x scenario off/on, timed after a
+warmup dispatch at the same shape, compared against a saved baseline JSON.
+
+Usage:
+    python benchmarks/throughput.py                 # run + compare
+    python benchmarks/throughput.py --save-baseline # freeze current numbers
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "throughput_baseline.json")
+N_SIMS = 4000
+REPEATS = 3
+
+
+def _cases():
+    from mcpower_tpu.engine.spec import ClusterStatic, ScenarioStatic
+
+    scen_on = ScenarioStatic(
+        label="realistic",
+        heterogeneity=0.2,
+        heteroskedasticity_ratio=2.0,
+        correlation_noise_sd=0.15,
+        distribution_change_prob=0.5,
+        new_distributions=("right_skewed", "left_skewed", "uniform"),
+        residual_change_prob=0.5,
+        residual_dists=("high_kurtosis", "right_skewed"),
+        residual_df=8.0,
+        truth_start=False,
+    )
+    cl = ClusterStatic(sizing_mode="fixed_clusters", sizing_value=20, tau_squared=0.25)
+    corr2 = np.array([[1.0, 0.3], [0.3, 1.0]])
+    base = dict(
+        grid=[200],
+        var_types=["normal", "normal"],
+        corr=corr2,
+        effects=np.array([0.0, 0.3, 0.2]),
+        target_cols=[1, 2],
+    )
+    cases = []
+    for scen, tag in [(None, "base"), (scen_on, "scenario")]:
+        kw = dict(base)
+        if scen is not None:
+            kw["scenario"] = scen
+        cases.append((f"ols_{tag}", dict(kw, estimator="ols")))
+        cases.append(
+            (
+                f"logit_{tag}",
+                dict(kw, estimator="glm", outcome="binary",
+                     effects=np.array([-0.3, 0.3, 0.2])),
+            )
+        )
+        cases.append(
+            (
+                f"poisson_{tag}",
+                dict(kw, estimator="glm", outcome="count",
+                     effects=np.array([0.5, 0.2, 0.1])),
+            )
+        )
+        cases.append((f"lmm_{tag}", dict(kw, estimator="mle", cluster=cl)))
+        cases.append(
+            (
+                f"glmm_{tag}",
+                dict(kw, estimator="glm", outcome="binary", cluster=cl,
+                     effects=np.array([-0.3, 0.3, 0.2])),
+            )
+        )
+    # grid-search case: one batch covering 8 Ns
+    cases.append(
+        ("ols_grid8", dict(base, grid=[60, 80, 100, 120, 140, 160, 180, 200]))
+    )
+    return cases
+
+
+def run():
+    import jax
+
+    from mcpower_tpu.engine import batch, lower
+
+    results = {}
+    for name, kw in _cases():
+        spec, arrays = lower.lower(**kw)
+        arrays = jax.device_put(arrays)
+        batch.run_batch(spec, arrays, N_SIMS, 1, chunk_size=N_SIMS)  # warmup
+        times = []
+        for r in range(REPEATS):
+            t0 = time.perf_counter()
+            batch.run_batch(spec, arrays, N_SIMS, 2137 + r, chunk_size=N_SIMS)
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        fits = N_SIMS * len(spec.grid)
+        results[name] = round(fits / med, 1)
+        print(f"{name:16s} {results[name]:>12,.0f} fits/sec  ({med*1e3:.1f} ms)")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save-baseline", action="store_true")
+    args = ap.parse_args()
+    results = run()
+    if args.save_baseline:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"baseline saved to {BASELINE_PATH}")
+        return
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f)
+        worst = None
+        for name, fps in results.items():
+            if name in baseline and baseline[name] > 0:
+                ratio = fps / baseline[name]
+                flag = "  <-- REGRESSION" if ratio < 0.9 else ""
+                print(f"{name:16s} vs baseline: {ratio:6.2f}x{flag}")
+                worst = min(worst or ratio, ratio)
+        if worst is not None and worst < 0.9:
+            sys.exit(1)
+    else:
+        print("(no baseline; run with --save-baseline to freeze)")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,23 @@ from .spec import SimSpec
 N_PIRLS = 12
 GOLDEN_ITERS_GLMM = 40
 
+_LOG_2PI = 1.8378770664093453
+
+
+def _loglik_rows(outcome: str, link: str, y, eta):
+    """Per-row conditional log-likelihood (constants kept for AGQ ratios)."""
+    if outcome == "binary":
+        if link == "probit":
+            from . import rng as _rng
+
+            mu = jnp.clip(_rng.norm_cdf(eta), MU_EPS, 1.0 - MU_EPS)
+        else:
+            mu = jnp.clip(jax.nn.sigmoid(eta), MU_EPS, 1.0 - MU_EPS)
+        return y * jnp.log(mu) + (1.0 - y) * jnp.log(1.0 - mu)
+    # poisson (log link); the y! constant cancels across nodes
+    eta_c = jnp.clip(eta, -30.0, 30.0)
+    return y * eta_c - jnp.exp(eta_c)
+
 
 def glmm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
     """All GLMM test statistics for one sim across the grid (random intercept)."""
@@ -103,8 +120,42 @@ def glmm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarra
             )
             return beta, u, w, W_i, laplace
 
+        # Adaptive Gauss-Hermite nodes (physicists' convention, weight
+        # e^{-x^2}); nagq == 1 degenerates to the Laplace objective.
+        nagq = max(int(spec.nagq), 1)
+        if nagq > 1:
+            gh_x, gh_w = np.polynomial.hermite.hermgauss(nagq)
+            gh_x = jnp.asarray(gh_x, jnp.float64)
+            log_gh_w = jnp.asarray(np.log(gh_w), jnp.float64)
+
+        def agq_deviance(tau2, beta, u, w, W_i, mask_local):
+            """-2 sum_i log of the adaptive-GH integral at the mode u_i.
+
+            Vectorized over quadrature nodes: one (nodes, n) elementwise pass
+            and one (nodes, n) x (n, m) matmul — graph size independent of
+            nagq.
+            """
+            inv_tau2 = 1.0 / jnp.maximum(tau2, 1e-12)
+            sigma_i = 1.0 / jnp.sqrt(W_i + inv_tau2)  # (m,)
+            lp_x = Xf @ beta  # fixed part per row
+            u_k = u[None, :] + jnp.sqrt(2.0) * sigma_i[None, :] * gh_x[:, None]
+            eta = lp_x[None, :] + u_k[:, ids]  # (nodes, n)
+            ll_rows = _loglik_rows(spec.outcome, spec.link, yf[None, :], eta)
+            ll_i = (ll_rows * mask_local[None, :]) @ oh  # (nodes, m)
+            prior = -0.5 * (u_k * u_k) * inv_tau2 - 0.5 * (
+                jnp.log(jnp.maximum(tau2, 1e-12)) + _LOG_2PI
+            )
+            stacked = log_gh_w[:, None] + gh_x[:, None] ** 2 + ll_i + prior
+            log_int = jax.scipy.special.logsumexp(stacked, axis=0) + jnp.log(
+                jnp.sqrt(2.0) * sigma_i
+            )
+            return -2.0 * jnp.sum(jnp.where(active, log_int, 0.0))
+
         def dev_at(log_tau2, beta, u):
-            beta2, u2, _, _, lap = pirls(jnp.exp(log_tau2), beta, u, N_PIRLS)
+            tau2 = jnp.exp(log_tau2)
+            beta2, u2, w2, W2, lap = pirls(tau2, beta, u, N_PIRLS)
+            if nagq > 1:
+                return agq_deviance(tau2, beta2, u2, w2, W2, mask), beta2, u2
             return lap, beta2, u2
 
         # golden section with (beta, u) warm carry
@@ -151,6 +202,62 @@ def glmm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarra
         a_xx = (Xf * w[:, None]).T @ Xf - jnp.einsum("m,mp,mq->pq", c_i, s_i, s_i) + eye
         chol = smallchol.chol(a_xx)
         cov = smallchol.cho_inverse(chol)
+
+        if spec.wald_se == "hessian":
+            # Accurate opt-in: central finite differences of the beta-profiled
+            # Laplace deviance (u re-optimized per evaluation by a u-only
+            # Newton pass), cov = 2 H^-1 since dev = -2 loglik. The rx cov
+            # above remains the fast default (reference WaldSe::{Rx, Hessian},
+            # estimator.rs:47).
+            tau2_c = jnp.maximum(tau2_hat, 1e-12)
+
+            def dev_beta(beta_q):
+                def ubody(_, u_q):
+                    eta = Xf @ beta_q + u_q[ids]
+                    mu, var, dmu = mu_var_dmu(eta)
+                    w_q = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                    r = (yf - mu) * mask
+                    g_u = oh.T @ r - u_q / tau2_c
+                    h_u = oh.T @ w_q + 1.0 / tau2_c
+                    return jnp.where(active, u_q + g_u / h_u, 0.0)
+
+                u_q = jax.lax.fori_loop(0, 20, ubody, u)
+                eta = Xf @ beta_q + u_q[ids]
+                mu, var, dmu = mu_var_dmu(eta)
+                w_q = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                W_q = oh.T @ w_q
+                dev_cond = _deviance(spec.outcome, yf, mu, mask)
+                return (
+                    dev_cond
+                    + jnp.sum(jnp.where(active, u_q * u_q, 0.0)) / tau2_c
+                    + jnp.sum(jnp.where(active, jnp.log1p(tau2_c * W_q), 0.0))
+                )
+
+            h = 1e-4
+            H = jnp.zeros((pf, pf), jnp.float64)
+            f0 = dev_beta(beta)
+            evs = {}
+            for i2 in range(pf):
+                ei = jnp.zeros(pf, jnp.float64).at[i2].set(h)
+                evs[(i2, 1)] = dev_beta(beta + ei)
+                evs[(i2, -1)] = dev_beta(beta - ei)
+                H = H.at[i2, i2].set(
+                    (evs[(i2, 1)] - 2.0 * f0 + evs[(i2, -1)]) / (h * h)
+                )
+            for i2 in range(pf):
+                for j2 in range(i2 + 1, pf):
+                    ei = jnp.zeros(pf, jnp.float64).at[i2].set(h)
+                    ej = jnp.zeros(pf, jnp.float64).at[j2].set(h)
+                    fpp = dev_beta(beta + ei + ej)
+                    fpm = dev_beta(beta + ei - ej)
+                    fmp = dev_beta(beta - ei + ej)
+                    fmm = dev_beta(beta - ei - ej)
+                    hij = (fpp - fpm - fmp + fmm) / (4.0 * h * h)
+                    H = H.at[i2, j2].set(hij)
+                    H = H.at[j2, i2].set(hij)
+            cholH = smallchol.chol(H + 1e-10 * jnp.eye(pf, dtype=jnp.float64))
+            cov_h = 2.0 * smallchol.cho_inverse(cholH)
+            cov = jnp.where(jnp.all(jnp.isfinite(cov_h)), cov_h, cov)
         converged = (
             jnp.all(jnp.isfinite(beta))
             & smallchol.chol_ok(chol)

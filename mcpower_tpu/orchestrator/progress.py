@@ -54,8 +54,17 @@ class ProgressRouter:
         self.cancel = cancel or CancellationToken()
         self._cb: Optional[Callable] = None
         self._print = False
+        self._tqdm = None
+        self._tqdm_factory = None
         if callback is True:
-            self._print = True
+            # tqdm when available (the reference's Python-port progress UI),
+            # plain text otherwise.
+            try:
+                from tqdm.auto import tqdm as _tqdm
+
+                self._tqdm_factory = _tqdm
+            except Exception:
+                self._print = True
         elif callable(callback):
             self._cb = callback
 
@@ -65,6 +74,19 @@ class ProgressRouter:
                 keep_going = self._cb(event.done, event.total)
                 if keep_going is False:
                     self.cancel.cancel()
+            elif self._tqdm_factory is not None:
+                if self._tqdm is None or self._tqdm.total != event.total:
+                    if self._tqdm is not None:
+                        self._tqdm.close()
+                    self._tqdm = self._tqdm_factory(
+                        total=event.total,
+                        desc=f"sims[{event.scenario}]" if event.scenario else "sims",
+                        unit="sim",
+                    )
+                self._tqdm.update(event.done - self._tqdm.n)
+                if event.done >= event.total:
+                    self._tqdm.close()
+                    self._tqdm = None
             elif self._print:
                 pct = 100.0 * event.done / max(event.total, 1)
                 label = f" [{event.scenario}]" if event.scenario else ""
