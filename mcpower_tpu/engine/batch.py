@@ -111,6 +111,28 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
         if extra in stats:
             out[extra] = stats[extra]
 
+    # Sparse-factor diagnostics: a factor whose realized level count at grid
+    # point g falls under factor_min_level_count is flagged (the reference
+    # additionally refits with the factor dropped, batch.rs:903-1013; here
+    # the flag feeds the preflight/threshold warnings and exclusion rates).
+    if spec.factor_levels:
+        rows = jnp.arange(spec.max_n)
+        flags = []
+        for g, n in enumerate(spec.grid):
+            mask = rows < n
+            per_factor = []
+            for f, n_levels in enumerate(spec.factor_levels):
+                start = spec.factor_col_start + sum(
+                    max(l - 1, 0) for l in spec.factor_levels[:f]
+                )
+                dummies = X[:, start : start + n_levels - 1]
+                counts_lv = jnp.sum(dummies * mask[:, None].astype(X.dtype), axis=0)
+                ref_count = jnp.asarray(n, X.dtype) - jnp.sum(counts_lv)
+                min_count = jnp.minimum(jnp.min(counts_lv), ref_count)
+                per_factor.append(min_count < spec.factor_min_level_count)
+            flags.append(jnp.stack(per_factor))
+        out["factor_excluded"] = jnp.stack(flags)  # (G, n_factors) bool
+
     return out
 
 

@@ -599,9 +599,11 @@ class MCPower:
 
         from .engine.spec import ClusterStatic  # noqa: F401
 
+        preflight = self._factor_preflight(sample_size)
         lowered = []
         snap_warning = None
         for ps in projected:
+            ps.warnings.extend(preflight)
             spec_probe, _ = contract_to_lowered(ps.contract, [max(sample_size, 2)])
             n_snapped, snap_warning = gridmod.snap_single_n(
                 spec_probe.cluster, sample_size
@@ -706,6 +708,23 @@ class MCPower:
         if self.seed is not None:
             return int(self.seed)
         return 0
+
+    def _factor_preflight(self, n_min: int) -> List[str]:
+        """Expected-count warnings before any simulation runs (the
+        reference's factor preflight, find_power.rs:62-115)."""
+        out: List[str] = []
+        min_count = int(CONFIG["limits"]["factor_min_level_count"])
+        for name in self._registry.factor_names:
+            props = self._registry.factor_proportions(name)
+            expected_min = n_min * min(props)
+            if expected_min < min_count:
+                out.append(
+                    f"factor {name!r}: the rarest level expects only "
+                    f"{expected_min:.1f} rows at N={n_min} (< {min_count}); "
+                    "its dummies will be unstable or excluded in many "
+                    "simulations"
+                )
+        return out
 
     def _derive_cluster_count(self, sample_size: int) -> None:
         """cluster_size-mode groupings derive n_clusters from N at run time."""

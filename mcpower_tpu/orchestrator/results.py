@@ -104,6 +104,20 @@ def fold_counts(
             [np.atleast_1d(lo), np.atleast_1d(hi)], axis=-1
         ).tolist()
 
+    if "factor_excluded" in counts:
+        fx = np.asarray(counts["factor_excluded"], dtype=np.int64)
+        result["factor_exclusion_counts"] = fx.tolist()
+        max_rate = rate(fx, n_done)
+        worst = float(np.max(np.atleast_1d(max_rate))) if fx.size else 0.0
+        from ..config import CONFIG as _CFG
+
+        if worst > _CFG["report"]["thresholds"]["factor_exclusion_max"]:
+            result["warnings"].append(
+                f"sparse factor levels in {worst:.1%} of simulations (fewer "
+                f"than {_CFG['limits']['factor_min_level_count']} rows in a "
+                "cell) — increase N, rebalance proportions, or drop levels"
+            )
+
     if "posthoc_sig" in counts and posthoc_labels:
         ph_counts = np.asarray(counts["posthoc_sig"], dtype=np.int64)
         result["posthoc_counts"] = ph_counts.tolist()
