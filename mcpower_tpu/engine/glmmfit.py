@@ -36,7 +36,9 @@ from .mixedfit import BOUNDARY_LOG_GAMMA, LOG_GAMMA_HI, LOG_GAMMA_LO, _INV_PHI
 from .spec import SimSpec
 
 N_PIRLS = 12
-GOLDEN_ITERS_GLMM = 40
+# 28 golden iterations bracket log-tau2 to ~1.4e-6 — far inside the 1e-3
+# variance-component tolerance; (beta, u) warm-carries keep PIRLS cheap.
+GOLDEN_ITERS_GLMM = 28
 
 _LOG_2PI = 1.8378770664093453
 
