@@ -101,9 +101,11 @@ def resolve_tests(
             raise ValueError(f"duplicate test target {tok!r}")
         targets.append(tok)
 
+    overall_excluded = False
     for ex in exclusions:
         if ex.lower() == "overall":
             report_overall = False
+            overall_excluded = True
             continue
         expanded = (
             registry.dummy_names(ex) if ex in registry.factor_names else [ex]
@@ -113,7 +115,7 @@ def resolve_tests(
                 raise ValueError(f"exclusion {ex!r} does not match a selected test")
             targets.remove(e)
 
-    if "all" in keywords and overall_available:
+    if "all" in keywords and overall_available and not overall_excluded:
         report_overall = True
 
     if not targets and not contrast_pairs and not report_overall and not posthoc:
