@@ -110,6 +110,10 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
     for extra in ("boundary_hit", "singular", "tau2_hat", "glm_baseline"):
         if extra in stats:
             out[extra] = stats[extra]
+    # tau2 is meaningful only for converged fits: mask before the sum so the
+    # host-side mean (sum / converged count) is the mean over converged sims.
+    if "tau2_hat" in out:
+        out["tau2_hat"] = jnp.where(converged, out["tau2_hat"], 0.0)
 
     # Sparse-factor diagnostics: a factor whose realized level count at grid
     # point g falls under factor_min_level_count is flagged (the reference

@@ -17,8 +17,9 @@ objective but restructures the optimization for lockstep batched execution:
   with (beta, u) warm-carried between evaluations.
 
 Wald SEs use the Schur complement X'WX - sum_i c_i s_i s_i' at the mode —
-the reference's "rx" fastmode (WaldSe::Rx, estimator.rs:47); its FD-Hessian
-"hessian" opt-in is accepted and currently served by the same rx matrix.
+the reference's "rx" fastmode (WaldSe::Rx, estimator.rs:47). The "hessian"
+opt-in computes central finite differences of the u-profiled Laplace
+deviance in beta (cov = 2 H^-1), matching WaldSe::Hessian semantics.
 Boundary fits pin tau^2 at the floor and flag ``boundary_hit``.
 """
 

@@ -591,7 +591,6 @@ class MCPower:
             raise ValueError("sample_size must be >= 2")
         wald_se_r, nagq = self._resolve_estimation(wald_se, agq)
         names = self._resolve_scenarios_arg(scenarios)
-        self._derive_cluster_count(sample_size)
         projected = self._project(
             names, target_test=target_test, correction=correction,
             wald_se=wald_se_r, nagq=nagq, test_formula=test_formula,
@@ -660,7 +659,6 @@ class MCPower:
 
         wald_se_r, nagq = self._resolve_estimation(wald_se, agq)
         names = self._resolve_scenarios_arg(scenarios)
-        self._derive_cluster_count(to_size)
         projected = self._project(
             names, target_test=target_test, correction=correction,
             wald_se=wald_se_r, nagq=nagq, test_formula=test_formula,
@@ -726,11 +724,51 @@ class MCPower:
                 )
         return out
 
-    def _derive_cluster_count(self, sample_size: int) -> None:
-        """cluster_size-mode groupings derive n_clusters from N at run time."""
-        for g, cfg in self._clusters.items():
-            if cfg.get("cluster_size") and not cfg.get("n_clusters"):
-                pass  # handled by sizing_mode=fixed_size in the projection
+    def _upload_reuse_warning(self, n_target: int) -> Optional[str]:
+        """Strict-bootstrap pilot-reuse warning (reference model.py:100-109)."""
+        if self._uploaded is None or self._uploaded.mode != "strict":
+            return None
+        from .data.upload import strict_reuse_warning
+
+        return strict_reuse_warning(self._uploaded.n_rows, n_target)
+
+    def _min_cluster_size(self, n: int) -> Optional[int]:
+        """Smallest per-cluster row count of the primary grouping at N."""
+        cl = self._primary_cluster()
+        if cl is None or not cl.sizing_value:
+            return None
+        if cl.sizing_mode == "fixed_clusters":
+            return n // max(int(cl.sizing_value), 1)
+        return int(cl.sizing_value)
+
+    def _glmm_laplace_bias_warning(self, res: Dict) -> Optional[str]:
+        """Laplace-bias warning for clustered binary/count fits at nagq=1
+        (reference ports/py/mcpower/model.py:111-147): fires when the
+        estimated random-intercept variance is large AND clusters are small
+        — the regime where the Laplace approximation is optimistic."""
+        if self.outcome_kind == "continuous" or not self._clusters:
+            return None
+        extras = res.get("estimator_extras") or {}
+        arm = extras.get("glm") or extras.get("mle") or {}
+        tau_means = arm.get("tau_squared_hat_mean")
+        if not tau_means:
+            return None
+        tau = max(tau_means)
+        thr = float(CONFIG["report"]["thresholds"]["glmm_tau_sq_warn"])
+        rec = int(CONFIG["limits"]["recommended_rows_per_cluster"])
+        n_min = min(res.get("sample_sizes", [0]))
+        min_size = self._min_cluster_size(n_min)
+        if min_size is None:
+            return None
+        if tau > thr and min_size < rec:
+            return (
+                f"Laplace-approximation bias likely: estimated random-"
+                f"intercept variance tau^2 = {tau:.2f} exceeds {thr:.2f} with "
+                f"small clusters (min cluster size {min_size} < {rec}). GLMM "
+                "power may be optimistic — interpret with caution, increase "
+                "cluster size, or set agq > 1."
+            )
+        return None
 
     def _check_failure_threshold(self, res: Dict) -> None:
         conv = res.get("convergence_rate", [1.0])
@@ -748,6 +786,13 @@ class MCPower:
             res["result_kind"] = kind
             res["family"] = self.family
             res["formula"] = self._registry.formula
+            n_max = max(res.get("sample_sizes", [0]))
+            for w in (
+                self._upload_reuse_warning(n_max),
+                self._glmm_laplace_bias_warning(res),
+            ):
+                if w and w not in res["warnings"]:
+                    res["warnings"].append(w)
         if len(names) == 1:
             return results[names[0]]
         return {

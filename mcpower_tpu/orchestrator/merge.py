@@ -99,10 +99,11 @@ def merge_power_results(parts: Sequence[Dict]) -> Dict:
                 col += 1
         out["posthoc"] = ph_out
 
-    # Weighted float diagnostics (means weighted by per-part n).
-    for key in ("estimator_extras",):
-        if key in base:
-            out[key] = base[key]  # re-derived below when counters exist
+    # Float diagnostics: n-weighted pooling of per-part means (reference
+    # merge.rs pools the underlying sums; means weighted by each part's
+    # denominator recover exactly that).
+    if "estimator_extras" in base:
+        out["estimator_extras"] = _pool_estimator_extras(parts)
 
     # Sample-size outputs re-derived from pooled counters.
     if "fitted" in base:
@@ -130,6 +131,58 @@ def merge_power_results(parts: Sequence[Dict]) -> Dict:
                 merged_warnings.append(w)
     out["warnings"] = merged_warnings
     return out
+
+
+def _pool_estimator_extras(parts: Sequence[Dict]) -> Dict:
+    """Exact pooling of per-part diagnostic means.
+
+    Per-sim means (baseline prob, singular/boundary rates) weight by each
+    part's n_sims; tau^2 means are over CONVERGED sims only (the engine masks
+    the device sum), so they weight by per-grid converged counts. Integer
+    diagnostics (boundary_hits) sum.
+    """
+    pooled: Dict = {}
+    arms = [k for p in parts for k in (p.get("estimator_extras") or {})]
+    for arm in dict.fromkeys(arms):
+        arm_parts = [
+            (p, p["estimator_extras"][arm])
+            for p in parts
+            if arm in (p.get("estimator_extras") or {})
+        ]
+        keys = [k for _, e in arm_parts for k in e]
+        merged: Dict = {}
+        for key in dict.fromkeys(keys):
+            rows = [(p, e[key]) for p, e in arm_parts if key in e]
+            if key == "boundary_hits":
+                merged[key] = np.sum(
+                    [np.asarray(v, dtype=np.int64) for _, v in rows], axis=0
+                ).tolist()
+            elif key == "tau_estimate":
+                continue  # re-derived from the pooled tau^2 mean below
+            elif key == "tau_squared_hat_mean":
+                num = np.sum(
+                    [
+                        np.asarray(v, np.float64) * np.asarray(p["converged_counts"], np.float64)
+                        for p, v in rows
+                    ],
+                    axis=0,
+                )
+                den = np.sum(
+                    [np.asarray(p["converged_counts"], np.float64) for p, _ in rows],
+                    axis=0,
+                )
+                mean = num / np.maximum(den, 1.0)
+                merged[key] = mean.tolist()
+                merged["tau_estimate"] = np.sqrt(np.maximum(mean, 0.0)).tolist()
+            else:
+                num = np.sum(
+                    [np.asarray(v, np.float64) * int(p["n_sims"]) for p, v in rows],
+                    axis=0,
+                )
+                den = sum(int(p["n_sims"]) for p, _ in rows)
+                merged[key] = (num / max(den, 1)).tolist()
+        pooled[arm] = merged
+    return pooled
 
 
 def split_sims(n_sims: int, n_workers: int) -> List[tuple]:

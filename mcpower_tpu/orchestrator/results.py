@@ -37,6 +37,14 @@ from ..engine.spec import SimSpec
 from .aggregation import rate, wilson_ci
 
 
+def _converged_mean(total, converged_counts) -> np.ndarray:
+    """Per-grid mean of a diagnostic summed over CONVERGED sims only (the
+    engine masks non-converged contributions to zero before the device sum)."""
+    return np.asarray(total, dtype=np.float64) / np.maximum(
+        np.asarray(converged_counts, dtype=np.float64), 1.0
+    )
+
+
 def fold_counts(
     spec: SimSpec,
     counts: Dict[str, np.ndarray],
@@ -144,17 +152,14 @@ def fold_counts(
         if "singular" in counts:
             extras["singular_fit_rate"] = rate(counts["singular"], n_done).tolist()
         if "tau2_hat" in counts:
-            extras["tau_squared_hat_mean"] = (
-                np.asarray(counts["tau2_hat"]) / max(n_done, 1)
+            extras["tau_squared_hat_mean"] = _converged_mean(
+                counts["tau2_hat"], converged
             ).tolist()
     elif spec.estimator == "mle":
         if "tau2_hat" in counts:
-            extras["tau_estimate"] = np.sqrt(
-                np.maximum(np.asarray(counts["tau2_hat"]) / max(n_done, 1), 0.0)
-            ).tolist()
-            extras["tau_squared_hat_mean"] = (
-                np.asarray(counts["tau2_hat"]) / max(n_done, 1)
-            ).tolist()
+            tau2_mean = _converged_mean(counts["tau2_hat"], converged)
+            extras["tau_estimate"] = np.sqrt(np.maximum(tau2_mean, 0.0)).tolist()
+            extras["tau_squared_hat_mean"] = tau2_mean.tolist()
         if "boundary_hit" in counts:
             extras["boundary_hits"] = np.asarray(counts["boundary_hit"]).tolist()
             extras["boundary_hit_rate"] = rate(counts["boundary_hit"], n_done).tolist()

@@ -182,3 +182,30 @@ def test_contract_roundtrip_and_validation():
     c3.test.alpha = 1.5
     with pytest.raises(ContractError, match="invariant 15"):
         validate(c3)
+
+
+def test_strict_reuse_warning_fires():
+    """Strict-bootstrap runs far beyond the pilot size warn the user
+    (reference model.py _strict_reuse_warning; VERDICT missing #7)."""
+    rng = np.random.default_rng(3)
+    d = {"x1": rng.normal(size=100), "y": rng.normal(size=100)}
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.4").set_simulations(50)
+    m.upload_data(d, mode="strict")
+    res = m.find_power(sample_size=300, verbose=False)
+    assert any("strict" in w and "300" in w for w in res["warnings"]), res["warnings"]
+    # under the ratio: silent
+    res2 = m.find_power(sample_size=150, verbose=False)
+    assert not any("strict" in w for w in res2["warnings"])
+
+
+def test_glmm_laplace_bias_warning_fires():
+    """High estimated tau^2 + small clusters => Laplace-bias warning
+    (reference model.py:111-147)."""
+    m = MCPower("y ~ x + (1|site)", family="logit")
+    m.set_cluster("site", ICC=0.5, n_clusters=20)
+    m.set_effects("x=0.3").set_simulations(80)
+    res = m.find_power(sample_size=100, verbose=False)  # 5 rows/cluster < 10
+    tau = max(res["estimator_extras"]["glm"]["tau_squared_hat_mean"])
+    assert tau > 1.0  # true tau^2 ~ 3.29 at ICC 0.5 (logit)
+    assert any("Laplace" in w for w in res["warnings"]), res["warnings"]

@@ -105,6 +105,45 @@ def test_merge_counter_pooling_exact():
     assert merged["powers"] == full["powers"]
 
 
+def test_merge_pools_estimator_extras_weighted():
+    """Float diagnostics pool n-weighted across UNEQUAL parts: the merged
+    means equal the one-shot run's (VERDICT weak #3, reference merge.rs)."""
+    from mcpower_tpu.engine.spec import ClusterStatic
+
+    spec, arrays = lower.lower(
+        grid=[80],
+        var_types=["normal"],
+        effects=np.array([0.0, 0.4]),
+        target_cols=[1],
+        estimator="mle",
+        cluster=ClusterStatic(
+            sizing_mode="fixed_clusters", sizing_value=8, tau_squared=0.3
+        ),
+    )
+    sc = runner.LoweredScenario(
+        label="optimistic", spec=spec, arrays=arrays, target_labels=["x1"]
+    )
+    full = results.fold_counts(
+        spec, batch.run_batch(spec, arrays, 300, 5), target_labels=["x1"]
+    )
+    c1 = batch.run_batch(spec, arrays, 100, 5, sim_id_offset=0)
+    c2 = batch.run_batch(spec, arrays, 200, 5, sim_id_offset=100)
+    r1 = results.fold_counts(spec, c1, target_labels=["x1"])
+    r2 = results.fold_counts(spec, c2, target_labels=["x1"])
+    merged = merge.merge_power_results([r1, r2])
+
+    me = merged["estimator_extras"]["mle"]
+    fe = full["estimator_extras"]["mle"]
+    np.testing.assert_allclose(
+        me["tau_squared_hat_mean"], fe["tau_squared_hat_mean"], rtol=1e-12
+    )
+    np.testing.assert_allclose(me["tau_estimate"], fe["tau_estimate"], rtol=1e-12)
+    np.testing.assert_allclose(
+        me["boundary_hit_rate"], fe["boundary_hit_rate"], rtol=1e-12
+    )
+    assert me["boundary_hits"] == fe["boundary_hits"]
+
+
 def test_sharded_run_matches_single_device():
     """8-device shard_map run returns bit-identical counts."""
     from mcpower_tpu.parallel.mesh import run_batch_sharded
