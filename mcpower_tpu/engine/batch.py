@@ -25,12 +25,44 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import corrections, datagen, olsfit, rng
-from .spec import SimSpec
+from .spec import SimSpec, factor_dependent_cols
 
 
 def _split_seed(base_seed: int) -> Tuple[int, int]:
     base_seed = int(base_seed) & 0xFFFFFFFFFFFFFFFF
     return base_seed & 0xFFFFFFFF, base_seed >> 32
+
+
+def _exclusion_colmask(spec: SimSpec, excluded):
+    """(G, P_fit) 0/1 mask over FIT columns + (G,) dropped-column counts from
+    the per-grid factor exclusion flags."""
+    fit_cols = spec.effective_fit_cols
+    mask = jnp.ones((spec.n_grid, len(fit_cols)), jnp.float64)
+    for f in range(len(spec.factor_levels)):
+        dep = [
+            i for i, c in enumerate(fit_cols) if c in factor_dependent_cols(spec, f)
+        ]
+        if not dep:
+            continue
+        keep = 1.0 - excluded[:, f].astype(jnp.float64)  # (G,)
+        mask = mask.at[:, jnp.asarray(dep)].mul(keep[:, None])
+    dropped = jnp.round(len(fit_cols) - jnp.sum(mask, axis=1)).astype(jnp.int32)
+    return mask, dropped
+
+
+def _crit_rows(arr: Dict, key2d: str, key3d: str, dropped):
+    """Pick the reduced-df crit row per grid point: by_dropped tables are
+    (G, D+1, ...) and indexed by how many fit columns were excluded; without
+    them the flat (G, ...) table applies (z-based crits are df-free)."""
+    if key3d in arr:
+        table = arr[key3d]  # (G, D+1, ...)
+        d = jnp.clip(dropped, 0, table.shape[1] - 1)
+        return jnp.take_along_axis(
+            table,
+            d.reshape((-1,) + (1,) * (table.ndim - 1)),
+            axis=1,
+        ).squeeze(1)
+    return arr[key2d]
 
 
 def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
@@ -48,8 +80,19 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
 
     X, y, ids = datagen.generate(spec, arr, key)
 
+    # Sparse-factor exclusion: flags + fit-column mask, BEFORE the fits so
+    # the estimator arms can run the reduced (masked) fit directly and the
+    # thresholds can use reduced-df crit rows (reference batch.rs:2418-2570).
+    excluded = None
+    colmask = None
+    dropped = jnp.zeros(spec.n_grid, jnp.int32)
+    if spec.factor_levels:
+        min_counts = datagen.factor_min_counts(spec, X)  # (G, n_factors)
+        excluded = min_counts < spec.factor_min_level_count
+        colmask, dropped = _exclusion_colmask(spec, excluded)
+
     if spec.estimator == "ols":
-        stats = olsfit.ols_grid_stats(spec, arr, X, y)
+        stats = olsfit.ols_grid_stats(spec, arr, X, y, colmask=colmask)
     elif spec.estimator == "glm":
         if spec.cluster is not None:
             # clustered binary/count: GLMM via penalized IRLS + Laplace
@@ -59,7 +102,7 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
         else:
             from . import glmfit
 
-            stats = glmfit.glm_grid_stats(spec, arr, X, y, ids)
+            stats = glmfit.glm_grid_stats(spec, arr, X, y, ids, colmask=colmask)
     elif spec.estimator == "mle":
         if spec.outcome != "continuous":
             from . import glmmfit
@@ -73,9 +116,11 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
         raise ValueError(f"unknown estimator {spec.estimator!r}")
 
     t2 = stats["t2"]  # (G, k)
-    sig_unc = t2 > arr["t2_uncorrected"]
+    sig_unc = t2 > _crit_rows(arr, "t2_uncorrected", "t2_unc_by_dropped", dropped)
     sig_corr = corrections.apply_correction(
-        t2, arr["t2_corrected_ranks"], spec.correction
+        t2,
+        _crit_rows(arr, "t2_corrected_ranks", "t2_corr_by_dropped", dropped),
+        spec.correction,
     )
     converged = stats["converged"]
     # Failed fits count as non-significant everywhere.
@@ -90,7 +135,10 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
     }
 
     if spec.report_overall:
-        out["overall"] = (stats["overall"] > arr["overall_crit"]) & converged
+        overall_crit = _crit_rows(
+            arr, "overall_crit", "overall_crit_by_dropped", dropped
+        )
+        out["overall"] = (stats["overall"] > overall_crit) & converged
 
     k = spec.n_targets
     if k > 0:
@@ -103,11 +151,16 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
         out["nsig_hist_corr"] = nsig_corr[:, None] == jnp.arange(k + 1)[None, :]
 
     if spec.posthoc and "posthoc_t2" in stats:
-        out["posthoc_sig"] = (
-            stats["posthoc_t2"] > arr["posthoc_t2"]
-        ) & converged[:, None]
+        ph_crit = _crit_rows(arr, "posthoc_t2", "posthoc_t2_by_dropped", dropped)
+        out["posthoc_sig"] = (stats["posthoc_t2"] > ph_crit) & converged[:, None]
 
-    for extra in ("boundary_hit", "singular", "tau2_hat", "glm_baseline"):
+    for extra in (
+        "boundary_hit",
+        "singular",
+        "tau2_hat",
+        "glm_baseline",
+        "separation_fallback",
+    ):
         if extra in stats:
             out[extra] = stats[extra]
     # tau2 is meaningful only for converged fits: mask before the sum so the
@@ -115,27 +168,8 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
     if "tau2_hat" in out:
         out["tau2_hat"] = jnp.where(converged, out["tau2_hat"], 0.0)
 
-    # Sparse-factor diagnostics: a factor whose realized level count at grid
-    # point g falls under factor_min_level_count is flagged (the reference
-    # additionally refits with the factor dropped, batch.rs:903-1013; here
-    # the flag feeds the preflight/threshold warnings and exclusion rates).
-    if spec.factor_levels:
-        rows = jnp.arange(spec.max_n)
-        flags = []
-        for g, n in enumerate(spec.grid):
-            mask = rows < n
-            per_factor = []
-            for f, n_levels in enumerate(spec.factor_levels):
-                start = spec.factor_col_start + sum(
-                    max(l - 1, 0) for l in spec.factor_levels[:f]
-                )
-                dummies = X[:, start : start + n_levels - 1]
-                counts_lv = jnp.sum(dummies * mask[:, None].astype(X.dtype), axis=0)
-                ref_count = jnp.asarray(n, X.dtype) - jnp.sum(counts_lv)
-                min_count = jnp.minimum(jnp.min(counts_lv), ref_count)
-                per_factor.append(min_count < spec.factor_min_level_count)
-            flags.append(jnp.stack(per_factor))
-        out["factor_excluded"] = jnp.stack(flags)  # (G, n_factors) bool
+    if excluded is not None:
+        out["factor_excluded"] = excluded  # (G, n_factors) bool
 
     return out
 

@@ -117,6 +117,31 @@ def _rep_rows(spec: SimSpec) -> jnp.ndarray:
     return rows - rows % s
 
 
+def extra_grouping_ids(spec: SimSpec, g: int):
+    """Level id per row for extra grouping ``g`` + its level count.
+
+    Pure iota math shared by generation and the mixed-model fit (the two
+    MUST agree or the fitted variance structure silently mismatches the
+    DGP). Crossed: round-robin over levels; nested: primary_id * n_per_parent
+    + local position within the cluster."""
+    c = spec.cluster
+    eg = c.extra_groupings[g]
+    rows = jnp.arange(spec.max_n, dtype=jnp.int32)
+    if eg.relation == "crossed":
+        n_lv = max(eg.n_levels, 1)
+        return rows % jnp.int32(n_lv), n_lv
+    npp = max(eg.n_levels, 1)
+    max_clusters = c.n_clusters_at(spec.max_n)
+    n_lv = max_clusters * npp
+    if c.sizing_mode == "fixed_clusters":
+        # round-robin primary: local position within cluster
+        local = rows // jnp.int32(max(c.sizing_value, 1))
+    else:
+        local = rows % jnp.int32(max(c.sizing_value, 1))
+    ids = _cluster_ids(spec)
+    return ids * jnp.int32(npp) + (local % jnp.int32(npp)), n_lv
+
+
 def _psd_repair_chol(sigma):
     """Spectral-clip PSD repair (eigenvalue floor 1e-10) + Cholesky.
 
@@ -201,6 +226,27 @@ def _poisson_quantile(z, lam):
     y_norm = jnp.maximum(jnp.floor(lam + z * jnp.sqrt(lam) + 0.5), 0.0)
     y = jnp.where(lam <= 20.0, y_walk, y_norm)
     return jnp.where(lam > 0.0, y, 0.0)
+
+
+def factor_min_counts(spec: SimSpec, X) -> jnp.ndarray:
+    """Smallest realized cell count per (grid point, factor) from the
+    generated design plane, shape (G, n_factors) — drives sparse-level
+    exclusion and the separation fallback's sparsest-factor pick."""
+    rows = jnp.arange(spec.max_n)
+    out = []
+    for n in spec.grid:
+        mask = rows < n
+        per_factor = []
+        for f, n_levels in enumerate(spec.factor_levels):
+            start = spec.factor_col_start + sum(
+                max(l - 1, 0) for l in spec.factor_levels[:f]
+            )
+            dummies = X[:, start : start + n_levels - 1]
+            counts_lv = jnp.sum(dummies * mask[:, None].astype(X.dtype), axis=0)
+            ref_count = jnp.asarray(n, X.dtype) - jnp.sum(counts_lv)
+            per_factor.append(jnp.minimum(jnp.min(counts_lv), ref_count))
+        out.append(jnp.stack(per_factor))
+    return jnp.stack(out)  # (G, n_factors)
 
 
 # ---------------------------------------------------------------------------
@@ -381,19 +427,7 @@ def _cluster_re_contribution(spec: SimSpec, arr: Dict, key, X, tau2_eff):
     # Extra groupings (crossed/nested).
     for g, eg in enumerate(c.extra_groupings):
         col_base = (g + 1) * 1024
-        if eg.relation == "crossed":
-            n_lv = max(eg.n_levels, 1)
-            eg_ids = jnp.arange(spec.max_n, dtype=jnp.int32) % jnp.int32(n_lv)
-        else:  # nested under primary: level = primary_id * npp + (local idx)
-            npp = max(eg.n_levels, 1)
-            n_lv = max_clusters * npp
-            rows = jnp.arange(spec.max_n, dtype=jnp.int32)
-            if c.sizing_mode == "fixed_clusters":
-                # round-robin primary: local position within cluster
-                local = rows // jnp.int32(max(c.sizing_value, 1))
-            else:
-                local = rows % jnp.int32(max(c.sizing_value, 1))
-            eg_ids = ids * jnp.int32(npp) + (local % jnp.int32(npp))
+        eg_ids, n_lv = extra_grouping_ids(spec, g)
         q_g = 1 + len(eg.slopes)
         zg_cols = [
             _re_draw(spec, key, col_base + comp * 32, n_lv) for comp in range(q_g)

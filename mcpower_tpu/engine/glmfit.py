@@ -23,8 +23,10 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from . import rng, smallchol
+from . import rng, smallchol, waldstats
+from .datagen import factor_min_counts as datagen_factor_min_counts
 from .spec import SimSpec
 
 N_IRLS_ITERS = 30
@@ -71,15 +73,20 @@ def _deviance(outcome: str, y, mu, mask):
     return 2.0 * jnp.sum((ylogy - y * jnp.log(mu) - (y - mu)) * mask, axis=-1)
 
 
-def _irls(outcome, link, Xf, yf, mask, beta0):
+def _irls(outcome, link, Xf, yf, mask, beta0, pin=None):
     """Fixed-iteration IRLS for one (sim, grid) cell.
 
-    Xf (n, P) f64, yf (n,), mask (n,) {0,1}, beta0 (P,). Returns
+    Xf (n, P) f64, yf (n,), mask (n,) {0,1}, beta0 (P,). ``pin`` (P,) of
+    0/1 pins excluded columns: Xf must already have them zeroed; the unit
+    diagonal keeps the solve well-posed with beta exactly 0 there (the
+    masked-refit idiom for the reference's reduced/reshaped fits). Returns
     (beta, cov, converged, deviance).
     """
     pf = Xf.shape[1]
     mu_var_dmu = _link_funcs(outcome, link)
     ridge = 1e-10 * jnp.eye(pf, dtype=jnp.float64)
+    if pin is not None:
+        ridge = ridge + jnp.diag(pin)
 
     def body(_, carry):
         beta, done = carry
@@ -121,13 +128,41 @@ def _null_deviance(outcome, yf, mask, n):
     return _deviance(outcome, yf, mu0[..., None], mask)
 
 
-def glm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
-    """All GLM test statistics for one sim across the grid."""
+def glm_grid_stats(
+    spec: SimSpec, arr: Dict, X, y, ids, colmask=None
+) -> Dict[str, jnp.ndarray]:
+    """All GLM test statistics for one sim across the grid.
+
+    ``colmask`` (G, P_fit) runs the sparse-factor reduced fit (masked
+    columns pinned at 0). When the primary fit fails to converge —
+    separation being the canonical cause for logit — and factors exist, a
+    SECOND cold-started IRLS pass drops the sparsest factor's columns and
+    replaces the failed cells (the reference's separation fallback,
+    crates/engine-core/src/batch.rs:1936-2020); ``separation_fallback``
+    counts the cells rescued this way.
+    """
+    from .spec import factor_dependent_cols
+
     fit_cols = spec.effective_fit_cols
     pf = len(fit_cols)
     Xf = X[:, jnp.asarray(fit_cols)].astype(jnp.float64)
     yf = y.astype(jnp.float64)
     rows = jnp.arange(spec.max_n)
+
+    n_factors = len(spec.factor_levels)
+    if colmask is None:
+        colmask = jnp.ones((spec.n_grid, pf), jnp.float64)
+    if n_factors:
+        drop_rows = np.zeros((n_factors, pf))
+        for f in range(n_factors):
+            dep = set(factor_dependent_cols(spec, f))
+            for i, c in enumerate(fit_cols):
+                if c in dep:
+                    drop_rows[f, i] = 1.0
+        drop_rows_j = jnp.asarray(drop_rows)
+        min_counts = datagen_factor_min_counts(spec, X)  # (G, n_factors)
+    else:
+        min_counts = None
 
     # Truth start (scenario knob; reference batch.rs truth-start semantics):
     # seed IRLS at the DGP's true coefficients — otherwise a data-driven cold
@@ -137,75 +172,71 @@ def glm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray
     else:
         beta0_full = jnp.zeros(pf, jnp.float64)
 
-    def per_grid(n):
+    def _data_intercept(ybar):
+        ybar = jnp.clip(
+            ybar, 1e-6, 1 - 1e-6 if spec.outcome == "binary" else jnp.inf
+        )
+        if spec.outcome == "binary":
+            icpt = jnp.log(ybar / (1 - ybar))
+            if spec.link == "probit":
+                # crude probit intercept seed; IRLS refines it
+                icpt = icpt / 1.6
+        else:
+            icpt = jnp.log(ybar)
+        return icpt
+
+    def per_grid(n, cmrow, counts_row):
         mask = (rows < n).astype(jnp.float64)
         nn = jnp.asarray(n, jnp.float64)
-        beta0 = beta0_full
-        if not spec.scenario.truth_start:
-            ybar = jnp.sum(yf * mask) / nn
-            ybar = jnp.clip(ybar, 1e-6, 1 - 1e-6 if spec.outcome == "binary" else jnp.inf)
-            if spec.outcome == "binary":
-                icpt = jnp.log(ybar / (1 - ybar))
-                if spec.link == "probit":
-                    # crude probit intercept seed; IRLS refines it
-                    icpt = icpt / 1.6
-            else:
-                icpt = jnp.log(ybar)
-            beta0 = beta0.at[0].set(icpt)
-        beta, cov, converged, dev = _irls(
-            spec.outcome, spec.link, Xf, yf, mask, beta0
-        )
-        dev0 = _null_deviance(spec.outcome, yf, mask, nn)
         ybar_real = jnp.sum(yf * mask) / nn
-        return beta, cov, converged, dev, dev0, ybar_real
+        beta0 = beta0_full * cmrow
+        if not spec.scenario.truth_start:
+            beta0 = beta0.at[0].set(_data_intercept(ybar_real))
+        pin = 1.0 - cmrow
+        beta, cov, converged, dev = _irls(
+            spec.outcome, spec.link, Xf * cmrow[None, :], yf, mask, beta0, pin
+        )
+        fb_used = jnp.bool_(False)
+        if n_factors:
+            # Separation fallback: drop the sparsest factor, one cold refit.
+            sparsest = jnp.argmin(counts_row)
+            cm_fb = cmrow * (1.0 - drop_rows_j[sparsest])
+            beta0_fb = (
+                jnp.zeros(pf, jnp.float64).at[0].set(_data_intercept(ybar_real))
+            )
+            beta_fb, cov_fb, conv_fb, dev_fb = _irls(
+                spec.outcome,
+                spec.link,
+                Xf * cm_fb[None, :],
+                yf,
+                mask,
+                beta0_fb,
+                1.0 - cm_fb,
+            )
+            fb_used = (~converged) & conv_fb
+            beta = jnp.where(fb_used, beta_fb, beta)
+            cov = jnp.where(fb_used, cov_fb, cov)
+            dev = jnp.where(fb_used, dev_fb, dev)
+            converged = converged | fb_used
+        dev0 = _null_deviance(spec.outcome, yf, mask, nn)
+        return beta, cov, converged, dev, dev0, ybar_real, fb_used
 
     # vmap over the grid axis: one traced IRLS regardless of grid length.
-    beta, cov, converged, dev, dev0, ybar = jax.vmap(per_grid)(
-        jnp.asarray(spec.grid, jnp.int32)
-    )
-
-    cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-    t2_cols = []
-    for tcol in spec.target_cols:
-        t2_cols.append(beta[:, tcol] ** 2 / cov_diag[:, tcol])
-    for a, b in spec.contrasts:
-        d = beta[:, a] - beta[:, b]
-        var_c = cov[:, a, a] + cov[:, b, b] - 2.0 * cov[:, a, b]
-        t2_cols.append(d * d / var_c)
-    t2 = (
-        jnp.stack(t2_cols, axis=1)
-        if t2_cols
-        else jnp.zeros((spec.n_grid, 0), jnp.float64)
+    beta, cov, converged, dev, dev0, ybar, fb_used = jax.vmap(per_grid)(
+        jnp.asarray(spec.grid, jnp.int32),
+        colmask,
+        min_counts
+        if min_counts is not None
+        else jnp.zeros((spec.n_grid, 1), jnp.float64),
     )
 
     out = {
-        "t2": t2,
+        "t2": waldstats.t2_targets(spec, beta, cov),
         "overall": dev0 - dev,  # LRT statistic vs chi2 crit (df = pf-1)
         "converged": converged,
         "glm_baseline": ybar,
         "singular": ~converged,
     }
-
-    if spec.posthoc:
-        ph = []
-        col_to_fit = {c: i for i, c in enumerate(fit_cols)}
-        for block in spec.posthoc:
-            for ca, cb in block.pairs:
-                ia = col_to_fit.get(ca, -1) if ca >= 0 else -1
-                ib = col_to_fit.get(cb, -1) if cb >= 0 else -1
-                d = jnp.zeros(spec.n_grid, jnp.float64)
-                var_q = jnp.zeros(spec.n_grid, jnp.float64)
-                if ia >= 0:
-                    d = d + beta[:, ia]
-                    var_q = var_q + cov[:, ia, ia]
-                if ib >= 0:
-                    d = d - beta[:, ib]
-                    var_q = var_q + cov[:, ib, ib]
-                if ia >= 0 and ib >= 0:
-                    var_q = var_q - 2.0 * cov[:, ia, ib]
-                ph.append(d * d / var_q)
-        out["posthoc_t2"] = (
-            jnp.stack(ph, axis=1) if ph else jnp.zeros((spec.n_grid, 0), jnp.float64)
-        )
-
-    return out
+    if n_factors:
+        out["separation_fallback"] = fb_used
+    return waldstats.add_posthoc(out, spec, beta, cov)

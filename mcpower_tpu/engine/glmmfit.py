@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import smallchol
+from . import smallchol, waldstats
 from .glmfit import MU_EPS, _deviance, _link_funcs
 from .mixedfit import BOUNDARY_LOG_GAMMA, LOG_GAMMA_HI, LOG_GAMMA_LO, _INV_PHI
 from .spec import SimSpec
@@ -59,8 +59,206 @@ def _loglik_rows(outcome: str, link: str, y, eta):
     return y * eta_c - jnp.exp(eta_c)
 
 
+# Slope-path budgets: Nelder-Mead over theta = vech chol(D) with a
+# fixed-iteration PIRLS inner solve per evaluation (cold-started — NM
+# evaluates several candidates per step, so there is no single carry).
+N_PIRLS_SLOPE = 8
+NM_ITERS_GLMM = 45
+
+
 def glmm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
-    """All GLMM test statistics for one sim across the grid (random intercept)."""
+    """All GLMM test statistics for one sim across the grid.
+
+    Random-intercept structure takes the 1-D golden-section path; random
+    slopes take the q-dimensional Nelder-Mead theta search (below) — the
+    TPU reformulation of the glmm crate's Laplace + BOBYQA slope fits
+    (crates/engine-core/src/mixed_workspace.rs:57-283).
+    """
+    if spec.cluster is not None and spec.cluster.slopes:
+        return _slope_glmm_grid_stats(spec, arr, X, y, ids)
+    return _intercept_glmm_grid_stats(spec, arr, X, y, ids)
+
+
+def _slope_glmm_grid_stats(
+    spec: SimSpec, arr: Dict, X, y, ids
+) -> Dict[str, jnp.ndarray]:
+    """GLMM with primary-grouping random slopes: Laplace deviance over the
+    spherical reparameterization u = Lam v, v ~ N(0, I) (lme4's theta
+    trick, robust at the D-singular boundary).
+
+    One PIRLS step at fixed Lam: elementwise weights/working response ->
+    per-cluster (q,q)/(q,p)/(q,) blocks -> q x q Cholesky per cluster ->
+    p x p Schur solve for beta -> per-cluster mode update
+        v_i = C_i^-1 (Lam'b_i - Lam'A_i beta),  C_i = I + Lam'G_i Lam.
+    Laplace deviance at the mode:
+        dev = dev_cond + sum_i |v_i|^2 + sum_i log det C_i.
+    The outer theta search is the batched fixed-iteration Nelder-Mead
+    (engine.optim), truth-started at vech chol(D_true); AGQ is
+    intercept-only (lme4 parity), so nagq is ignored here.
+    """
+    from . import optim
+    from .mixedfit import _vech_to_lower
+
+    c = spec.cluster
+    m = c.n_clusters_at(spec.max_n)
+    q = c.q
+    fit_cols = spec.effective_fit_cols
+    pf = len(fit_cols)
+    Xf = X[:, jnp.asarray(fit_cols)].astype(jnp.float64)
+    yf = y.astype(jnp.float64)
+    Zf = jnp.concatenate(
+        [
+            jnp.ones((spec.max_n, 1), jnp.float64),
+            X[:, jnp.asarray([s.design_col for s in c.slopes])].astype(
+                jnp.float64
+            ),
+        ],
+        axis=1,
+    )
+    rows = jnp.arange(spec.max_n)
+    one_hot = jax.nn.one_hot(ids, m, dtype=jnp.float64)
+    mu_var_dmu = _link_funcs(spec.outcome, spec.link)
+    eye_p = 1e-10 * jnp.eye(pf, dtype=jnp.float64)
+    eye_q = jnp.eye(q, dtype=jnp.float64)
+
+    if spec.scenario.truth_start:
+        beta0 = arr["effects"].astype(jnp.float64)[jnp.asarray(fit_cols)]
+    else:
+        beta0 = jnp.zeros(pf, jnp.float64)
+
+    # Truth-start theta and elementwise lower bounds (chol diagonal >= 0),
+    # the same single-factor RE correlation model the generator uses.
+    taus = np.sqrt(
+        [max(c.tau_squared, 1e-4)] + [max(s.variance, 1e-4) for s in c.slopes]
+    )
+    corr = np.eye(q)
+    for i, s in enumerate(c.slopes):
+        corr[0, 1 + i] = corr[1 + i, 0] = s.intercept_corr
+    for i, si in enumerate(c.slopes):
+        for j, sj in enumerate(c.slopes):
+            if i != j:
+                corr[1 + i, 1 + j] = si.intercept_corr * sj.intercept_corr
+    D0 = np.outer(taus, taus) * corr
+    L0 = np.linalg.cholesky(D0 + 1e-10 * np.eye(q))
+    theta0 = jnp.asarray(
+        np.concatenate([L0[j:, j] for j in range(q)]), jnp.float64
+    )
+    lower = jnp.asarray(
+        [0.0 if i == j else -np.inf for j in range(q) for i in range(j, q)],
+        jnp.float64,
+    )
+
+    def per_grid(n):
+        mask = (rows < n).astype(jnp.float64)
+
+        def pirls(Lam, beta, v, iters):
+            def body(_, carry):
+                beta, v = carry
+                u = v @ Lam.T  # (m, q)
+                eta = Xf @ beta + jnp.einsum("nq,nq->n", Zf, u[ids])
+                mu, var, dmu = mu_var_dmu(eta)
+                w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                z = eta + (yf - mu) / dmu
+                wZ = Zf * w[:, None]
+                G = jnp.einsum("nm,nq,nr->mqr", one_hot, wZ, Zf)
+                A = jnp.einsum("nm,nq,np->mqp", one_hot, wZ, Xf)
+                b = jnp.einsum("nm,nq->mq", one_hot, wZ * z[:, None])
+                C = eye_q[None] + jnp.einsum("ji,mjk,kl->mil", Lam, G, Lam)
+                cholC = smallchol.chol(C)
+                At = jnp.einsum("ji,mjp->mip", Lam, A)
+                bt = jnp.einsum("ji,mj->mi", Lam, b)
+                sol_b = smallchol.cho_solve(cholC, bt)  # (m, q)
+                sol_A = jax.vmap(
+                    lambda ch, aa: jax.vmap(
+                        lambda col: smallchol.cho_solve(ch, col)
+                    )(aa.T).T
+                )(cholC, At)  # (m, q, p)
+                xtwx = jnp.einsum("n,np,nq->pq", w, Xf, Xf)
+                a_xx = xtwx - jnp.einsum("miq,mip->qp", At, sol_A) + eye_p
+                a_xy = Xf.T @ (w * z) - jnp.einsum("miq,mi->q", At, sol_b)
+                cholP = smallchol.chol(a_xx)
+                beta_new = smallchol.cho_solve(cholP, a_xy)
+                v_new = sol_b - jnp.einsum("mip,p->mi", sol_A, beta_new)
+                ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
+                    jnp.isfinite(v_new)
+                )
+                return (
+                    jnp.where(ok, beta_new, beta),
+                    jnp.where(ok, v_new, v),
+                )
+
+            beta, v = jax.lax.fori_loop(0, iters, body, (beta, v))
+
+            # Mode-state quantities (weights/logdet/Schur at the final mode).
+            u = v @ Lam.T
+            eta = Xf @ beta + jnp.einsum("nq,nq->n", Zf, u[ids])
+            mu, var, dmu = mu_var_dmu(eta)
+            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+            wZ = Zf * w[:, None]
+            G = jnp.einsum("nm,nq,nr->mqr", one_hot, wZ, Zf)
+            A = jnp.einsum("nm,nq,np->mqp", one_hot, wZ, Xf)
+            C = eye_q[None] + jnp.einsum("ji,mjk,kl->mil", Lam, G, Lam)
+            cholC = smallchol.chol(C)
+            At = jnp.einsum("ji,mjp->mip", Lam, A)
+            sol_A = jax.vmap(
+                lambda ch, aa: jax.vmap(lambda col: smallchol.cho_solve(ch, col))(
+                    aa.T
+                ).T
+            )(cholC, At)
+            xtwx = jnp.einsum("n,np,nq->pq", w, Xf, Xf)
+            a_xx = xtwx - jnp.einsum("miq,mip->qp", At, sol_A) + eye_p
+            dev_cond = _deviance(spec.outcome, yf, mu, mask)
+            laplace = (
+                dev_cond
+                + jnp.sum(v * v)
+                + jnp.sum(smallchol.logdet_from_chol(cholC))
+            )
+            return beta, v, laplace, a_xx
+
+        v0 = jnp.zeros((m, q), jnp.float64)
+
+        def dev_at(theta):
+            Lam = _vech_to_lower(theta, q)
+            _, _, lap, _ = pirls(Lam, beta0, v0, N_PIRLS_SLOPE)
+            return jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30))
+
+        theta_hat, _ = optim.nelder_mead(
+            dev_at, theta0, iters=NM_ITERS_GLMM, init_step=0.2, lower=lower
+        )
+        Lam = _vech_to_lower(theta_hat, q)
+        beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)
+        cholP = smallchol.chol(a_xx)
+        cov = smallchol.cho_inverse(cholP)
+        D_hat = Lam @ Lam.T
+        tau2_hat = D_hat[0, 0]
+        boundary = jnp.any(jnp.diagonal(Lam) < 1e-3)
+        converged = (
+            jnp.all(jnp.isfinite(beta))
+            & smallchol.chol_ok(cholP)
+            & jnp.isfinite(lap)
+        )
+        ybar = jnp.sum(yf * (rows < n)) / jnp.asarray(n, jnp.float64)
+        return beta, cov, converged, boundary, tau2_hat, ybar
+
+    beta, cov, converged, boundary, tau2_hat, ybar = jax.vmap(per_grid)(
+        jnp.asarray(spec.grid, jnp.int32)
+    )
+    out = {
+        "t2": waldstats.t2_targets(spec, beta, cov),
+        "overall": waldstats.overall_wald_chi2(spec, beta, cov),
+        "converged": converged,
+        "boundary_hit": boundary,
+        "singular": boundary,
+        "tau2_hat": tau2_hat,
+        "glm_baseline": ybar,
+    }
+    return waldstats.add_posthoc(out, spec, beta, cov)
+
+
+def _intercept_glmm_grid_stats(
+    spec: SimSpec, arr: Dict, X, y, ids
+) -> Dict[str, jnp.ndarray]:
+    """Random-intercept GLMM (golden-section over log tau^2)."""
     c = spec.cluster
     m = c.n_clusters_at(spec.max_n)
     fit_cols = spec.effective_fit_cols
@@ -273,59 +471,13 @@ def glmm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarra
         jnp.asarray(spec.grid, jnp.int32)
     )
 
-    cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-    t2_cols = []
-    for tcol in spec.target_cols:
-        t2_cols.append(beta[:, tcol] ** 2 / cov_diag[:, tcol])
-    for a, b in spec.contrasts:
-        d = beta[:, a] - beta[:, b]
-        var_c = cov[:, a, a] + cov[:, b, b] - 2.0 * cov[:, a, b]
-        t2_cols.append(d * d / var_c)
-    t2 = (
-        jnp.stack(t2_cols, axis=1)
-        if t2_cols
-        else jnp.zeros((spec.n_grid, 0), jnp.float64)
-    )
-
-    if spec.target_cols:
-        tc = jnp.asarray(spec.target_cols)
-        bt = beta[:, tc]
-        ct = cov[:, tc][:, :, tc]
-        sol = smallchol.cho_solve(smallchol.chol(ct), bt)
-        overall = jnp.einsum("gp,gp->g", bt, sol)
-    else:
-        overall = jnp.zeros(spec.n_grid, jnp.float64)
-
     out = {
-        "t2": t2,
-        "overall": overall,
+        "t2": waldstats.t2_targets(spec, beta, cov),
+        "overall": waldstats.overall_wald_chi2(spec, beta, cov),
         "converged": converged,
         "boundary_hit": boundary,
         "singular": boundary,
         "tau2_hat": tau2_hat,
         "glm_baseline": ybar,
     }
-
-    if spec.posthoc:
-        ph = []
-        col_to_fit = {cc: i for i, cc in enumerate(fit_cols)}
-        for block in spec.posthoc:
-            for ca, cb in block.pairs:
-                ia = col_to_fit.get(ca, -1) if ca >= 0 else -1
-                ib = col_to_fit.get(cb, -1) if cb >= 0 else -1
-                d = jnp.zeros(spec.n_grid, jnp.float64)
-                var_q = jnp.zeros(spec.n_grid, jnp.float64)
-                if ia >= 0:
-                    d = d + beta[:, ia]
-                    var_q = var_q + cov[:, ia, ia]
-                if ib >= 0:
-                    d = d - beta[:, ib]
-                    var_q = var_q + cov[:, ib, ib]
-                if ia >= 0 and ib >= 0:
-                    var_q = var_q - 2.0 * cov[:, ia, ib]
-                ph.append(d * d / var_q)
-        out["posthoc_t2"] = (
-            jnp.stack(ph, axis=1) if ph else jnp.zeros((spec.n_grid, 0), jnp.float64)
-        )
-
-    return out
+    return waldstats.add_posthoc(out, spec, beta, cov)

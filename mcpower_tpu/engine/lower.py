@@ -247,12 +247,58 @@ def lower(
         off += n_levels
 
     # Posthoc crit per pair, concatenated in block order.
-    if posthoc:
+    def _posthoc_cols(tbl):
         cols = []
         for block in posthoc:
-            crit_g = table.posthoc_t2[block.factor_index]  # (G,)
+            crit_g = tbl.posthoc_t2[block.factor_index]  # (G,)
             for _ in block.pairs:
                 cols.append(crit_g)
-        arrays["posthoc_t2"] = jnp.asarray(np.stack(cols, axis=1))
+        return np.stack(cols, axis=1)
+
+    if posthoc:
+        arrays["posthoc_t2"] = jnp.asarray(_posthoc_cols(table))
+
+    # Reduced-df crit stacks for sparse-factor exclusion refits: layer d
+    # holds every threshold at p_fit - d fitted columns (t/F/studentized-
+    # range are df-dependent for OLS; z/chi2 arms need no stack). The device
+    # side selects the layer by the per-(sim, grid) dropped-column count —
+    # the memoized reduced-crit tables of the reference (batch.rs:2418-2570).
+    from .spec import max_droppable_fit_cols
+
+    d_max = max_droppable_fit_cols(spec)
+    if d_max > 0 and use_t:
+        stacks = {"unc": [], "corr": [], "overall": [], "posthoc": []}
+        for d in range(d_max + 1):
+            t_d = (
+                table
+                if d == 0
+                else critvals.build_crit_table(
+                    alpha=alpha,
+                    grid=grid,
+                    p_fit=pf - d,
+                    n_targets=spec.n_targets,
+                    use_t=True,
+                    correction=correction,
+                    overall=overall_kind,
+                    overall_df1=max(pf - d - 1, 1),
+                    posthoc_factors=ph_factors,
+                    posthoc_correction="tukey_hsd",
+                )
+            )
+            stacks["unc"].append(t_d.t2_uncorrected)
+            stacks["corr"].append(t_d.t2_corrected_ranks)
+            stacks["overall"].append(t_d.overall_crit)
+            if posthoc:
+                stacks["posthoc"].append(_posthoc_cols(t_d))
+        arrays["t2_unc_by_dropped"] = jnp.asarray(np.stack(stacks["unc"], 1))
+        arrays["t2_corr_by_dropped"] = jnp.asarray(np.stack(stacks["corr"], 1))
+        if report_overall:
+            arrays["overall_crit_by_dropped"] = jnp.asarray(
+                np.stack(stacks["overall"], 1)
+            )
+        if posthoc:
+            arrays["posthoc_t2_by_dropped"] = jnp.asarray(
+                np.stack(stacks["posthoc"], 1)
+            )
 
     return spec, arrays

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import smallchol
+from . import smallchol, waldstats
 from .spec import SimSpec
 
 # log-gamma golden-section search window and iteration budget.
@@ -283,17 +283,211 @@ def _slope_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
     return _assemble_outputs(spec, beta, cov, converged, boundary, tau2_hat)
 
 
+# ---------------------------------------------------------------------------
+# Joint-Z path: crossed/nested extra groupings (with or without slopes).
+# The per-cluster Woodbury no longer block-diagonalizes when a crossed
+# grouping spans clusters, so the fit uses the JOINT capacitance matrix
+#     C = I_M + Lam' (Z'Z) Lam,   Z = [Z_primary | Z_extra...], M = sum m_g q_g
+# — dense but tiny (M <= a few dozen), one unrolled M x M Cholesky per
+# (sim, grid, theta-eval). All Z' cross-products are prefix suff-stats over
+# the CRN grid, so generation is still one pass. This replaces the
+# reference's sparse-solver fallback (glmm crate ReStructure) with the
+# TPU-shaped dense equivalent.
+# ---------------------------------------------------------------------------
+
+
+def _grouping_plan(spec: SimSpec):
+    """[(n_levels, q_g, slope_design_cols, tau2, slopes)] per grouping:
+    primary first, then extras in declaration order."""
+    from . import datagen
+
+    c = spec.cluster
+    plan = [
+        (
+            c.n_clusters_at(spec.max_n),
+            c.q,
+            tuple(s.design_col for s in c.slopes),
+            c.tau_squared,
+            c.slopes,
+        )
+    ]
+    for g, eg in enumerate(c.extra_groupings):
+        _, n_lv = datagen.extra_grouping_ids(spec, g)
+        plan.append(
+            (
+                n_lv,
+                1 + len(eg.slopes),
+                tuple(s.design_col for s in eg.slopes),
+                eg.tau_squared,
+                eg.slopes,
+            )
+        )
+    return plan
+
+
+def _build_joint_z(spec: SimSpec, X, ids):
+    """Z (max_n, M) f64, level-major within each grouping block
+    (col = level * q_g + component) so Lam_all = blockdiag(I_m kron Lam_g)."""
+    from . import datagen
+
+    c = spec.cluster
+    plan = _grouping_plan(spec)
+    blocks = []
+    for g, (n_lv, q_g, slope_cols, _tau2, _slopes) in enumerate(plan):
+        gids = ids if g == 0 else datagen.extra_grouping_ids(spec, g - 1)[0]
+        zrow = jnp.concatenate(
+            [jnp.ones((spec.max_n, 1), jnp.float64)]
+            + [
+                X[:, jnp.asarray([col])].astype(jnp.float64)
+                for col in slope_cols
+            ],
+            axis=1,
+        )  # (n, q_g)
+        oh = jax.nn.one_hot(gids, n_lv, dtype=jnp.float64)  # (n, m_g)
+        blocks.append(
+            (oh[:, :, None] * zrow[:, None, :]).reshape(spec.max_n, n_lv * q_g)
+        )
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _theta_layout(plan):
+    """Per-grouping vech slices + truth start + lower bounds."""
+    sizes = [q * (q + 1) // 2 for _, q, _, _, _ in plan]
+    theta0, lower = [], []
+    for _, q, _, tau2, slopes in plan:
+        taus = np.sqrt([max(tau2, 1e-4)] + [max(s.variance, 1e-4) for s in slopes])
+        corr = np.eye(q)
+        for i, s in enumerate(slopes):
+            corr[0, 1 + i] = corr[1 + i, 0] = s.intercept_corr
+        for i, si in enumerate(slopes):
+            for j, sj in enumerate(slopes):
+                if i != j:
+                    corr[1 + i, 1 + j] = si.intercept_corr * sj.intercept_corr
+        D = np.outer(taus, taus) * corr
+        L0 = np.linalg.cholesky(D + 1e-10 * np.eye(q))
+        theta0.extend(np.concatenate([L0[j:, j] for j in range(q)]))
+        lower.extend(0.0 if i == j else -np.inf for j in range(q) for i in range(j, q))
+    return sizes, jnp.asarray(theta0, jnp.float64), jnp.asarray(lower, jnp.float64)
+
+
+def _lam_all(theta, plan, sizes, M: int):
+    """Dense block-diagonal Lam_all (M, M) from the stacked theta."""
+    Lam = jnp.zeros((M, M), theta.dtype)
+    off_t = 0
+    off_c = 0
+    for (n_lv, q, _, _, _), sz in zip(plan, sizes):
+        Lg = _vech_to_lower(theta[off_t : off_t + sz], q)
+        block = jnp.kron(jnp.eye(n_lv, dtype=theta.dtype), Lg)
+        Lam = jax.lax.dynamic_update_slice(Lam, block, (off_c, off_c))
+        off_t += sz
+        off_c += n_lv * q
+    return Lam
+
+
+def _joint_suffstats(spec: SimSpec, Xf, yf, Z):
+    """Prefix suff-stats per grid point with the joint Z."""
+    segs = {k: [] for k in ("ztz", "ztx", "zty", "xtx", "xty", "yty")}
+    prev = 0
+    for n in spec.grid:
+        Xs = jax.lax.slice_in_dim(Xf, prev, n, axis=0)
+        ys = jax.lax.slice_in_dim(yf, prev, n, axis=0)
+        Zs = jax.lax.slice_in_dim(Z, prev, n, axis=0)
+        segs["ztz"].append(Zs.T @ Zs)
+        segs["ztx"].append(Zs.T @ Xs)
+        segs["zty"].append(Zs.T @ ys)
+        segs["xtx"].append(Xs.T @ Xs)
+        segs["xty"].append(Xs.T @ ys)
+        segs["yty"].append(ys @ ys)
+        prev = n
+    return {k: jnp.cumsum(jnp.stack(v), axis=0) for k, v in segs.items()}
+
+
+def _reml_quantities_joint(Lam, ztz, ztx, zty, xtx, xty, yty, n, p):
+    """Profile-REML pieces with the joint capacitance matrix at one cell."""
+    M = Lam.shape[0]
+    C = jnp.eye(M, dtype=Lam.dtype) + Lam.T @ ztz @ Lam
+    cholC = smallchol.chol(C)
+    At = Lam.T @ ztx  # (M, p)
+    bt = Lam.T @ zty  # (M,)
+    sol_b = smallchol.cho_solve(cholC, bt)
+    sol_A = jax.vmap(lambda col: smallchol.cho_solve(cholC, col))(At.T).T
+    a_xx = xtx - At.T @ sol_A
+    a_xy = xty - At.T @ sol_b
+    a_yy = yty - bt @ sol_b
+    chol = smallchol.chol(a_xx)
+    beta = smallchol.cho_solve(chol, a_xy)
+    rss = a_yy - beta @ a_xy
+    df = n - p
+    sigma2 = rss / df
+    logdet_v = smallchol.logdet_from_chol(cholC)
+    logdet_xvx = smallchol.logdet_from_chol(chol)
+    dev = logdet_v + logdet_xvx + df * jnp.log(rss)
+    return dev, beta, chol, sigma2
+
+
+def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
+    from . import optim
+
+    c = spec.cluster
+    fit_cols = spec.effective_fit_cols
+    pf = len(fit_cols)
+    Xf = X[:, jnp.asarray(fit_cols)].astype(jnp.float64)
+    yf = y.astype(jnp.float64)
+    plan = _grouping_plan(spec)
+    M = sum(n_lv * q for n_lv, q, _, _, _ in plan)
+    Z = _build_joint_z(spec, X, ids)
+    ss = _joint_suffstats(spec, Xf, yf, Z)
+    sizes, theta0, lower = _theta_layout(plan)
+    ns = jnp.asarray(spec.grid, dtype=jnp.float64)
+    q1 = plan[0][1]
+
+    def per_grid(ztz, ztx, zty, xtx, xty, yty, n):
+        def dev_at(theta):
+            Lam = _lam_all(theta, plan, sizes, M)
+            dev, *_ = _reml_quantities_joint(
+                Lam, ztz, ztx, zty, xtx, xty, yty, n, pf
+            )
+            return jnp.where(jnp.isfinite(dev), dev, jnp.float64(1e30))
+
+        theta_hat, _ = optim.nelder_mead(
+            dev_at, theta0, iters=140, init_step=0.3, lower=lower
+        )
+        Lam = _lam_all(theta_hat, plan, sizes, M)
+        dev, beta, chol, sigma2 = _reml_quantities_joint(
+            Lam, ztz, ztx, zty, xtx, xty, yty, n, pf
+        )
+        cov = sigma2 * smallchol.cho_inverse(chol)
+        Lam1 = _vech_to_lower(theta_hat[: sizes[0]], q1)
+        tau2_hat = (Lam1 @ Lam1.T)[0, 0] * sigma2
+        # Boundary: any grouping's intercept/slope SD pinned at ~0.
+        diag_entries = []
+        off = 0
+        for (_, q, _, _, _), sz in zip(plan, sizes):
+            Lg = _vech_to_lower(theta_hat[off : off + sz], q)
+            diag_entries.append(jnp.diagonal(Lg))
+            off += sz
+        boundary = jnp.any(jnp.concatenate(diag_entries) < 1e-4)
+        converged = jnp.isfinite(dev) & jnp.all(jnp.isfinite(beta)) & (sigma2 > 0)
+        return beta, cov, converged, boundary, tau2_hat
+
+    beta, cov, converged, boundary, tau2_hat = jax.vmap(per_grid)(
+        ss["ztz"], ss["ztx"], ss["zty"], ss["xtx"], ss["xty"], ss["yty"], ns
+    )
+    return _assemble_outputs(spec, beta, cov, converged, boundary, tau2_hat)
+
+
 def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
     """All LMM (REML) test statistics for one sim across the grid.
 
-    Random-intercept primary grouping uses the 1-D golden-section path;
-    primary random slopes use the q-dim Nelder-Mead theta search. Extra
-    groupings contribute to generation but the fitted variance structure is
-    the primary grouping's (documented approximation until the multi-factor
-    solver lands).
+    Dispatch: random-intercept-only primary grouping -> 1-D golden section;
+    primary random slopes -> q-dim Nelder-Mead theta search; any extra
+    (crossed/nested) groupings -> the joint-Z capacitance path, which fits
+    the FULL generated variance structure.
     """
     c = spec.cluster
     assert c is not None, "mle estimator requires a cluster spec"
+    if c.extra_groupings:
+        return _joint_grid_stats(spec, arr, X, y, ids)
     if c.slopes:
         return _slope_grid_stats(spec, arr, X, y, ids)
     m = c.n_clusters_at(spec.max_n)
@@ -349,60 +543,13 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
 
 def _assemble_outputs(spec: SimSpec, beta, cov, converged, boundary, tau2_hat):
     """t^2 / omnibus / posthoc assembly shared by both LMM paths."""
-    fit_cols = spec.effective_fit_cols
-    cov_diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-    t2_cols = []
-    for tcol in spec.target_cols:
-        t2_cols.append(beta[:, tcol] ** 2 / cov_diag[:, tcol])
-    for a, b in spec.contrasts:
-        d = beta[:, a] - beta[:, b]
-        var_c = cov[:, a, a] + cov[:, b, b] - 2.0 * cov[:, a, b]
-        t2_cols.append(d * d / var_c)
-    t2 = (
-        jnp.stack(t2_cols, axis=1)
-        if t2_cols
-        else jnp.zeros((spec.n_grid, 0), jnp.float64)
-    )
-
-    # Joint Wald chi^2 over all targets (the MLE omnibus, batch.rs:1453-1473):
-    # beta_T' Cov_T^-1 beta_T for the marginal-target subvector.
-    if spec.target_cols:
-        tc = jnp.asarray(spec.target_cols)
-        bt = beta[:, tc]
-        ct = cov[:, tc][:, :, tc]
-        sol = smallchol.cho_solve(smallchol.chol(ct), bt)
-        overall = jnp.einsum("gp,gp->g", bt, sol)
-    else:
-        overall = jnp.zeros(spec.n_grid, jnp.float64)
-
     out = {
-        "t2": t2,
-        "overall": overall,
+        "t2": waldstats.t2_targets(spec, beta, cov),
+        # Joint Wald chi^2 over all targets (the MLE omnibus,
+        # batch.rs:1453-1473) for the marginal-target subvector.
+        "overall": waldstats.overall_wald_chi2(spec, beta, cov),
         "converged": converged,
         "boundary_hit": boundary,
         "tau2_hat": tau2_hat,
     }
-
-    if spec.posthoc:
-        ph = []
-        col_to_fit = {cc: i for i, cc in enumerate(fit_cols)}
-        for block in spec.posthoc:
-            for ca, cb in block.pairs:
-                ia = col_to_fit.get(ca, -1) if ca >= 0 else -1
-                ib = col_to_fit.get(cb, -1) if cb >= 0 else -1
-                d = jnp.zeros(spec.n_grid, jnp.float64)
-                var_q = jnp.zeros(spec.n_grid, jnp.float64)
-                if ia >= 0:
-                    d = d + beta[:, ia]
-                    var_q = var_q + cov[:, ia, ia]
-                if ib >= 0:
-                    d = d - beta[:, ib]
-                    var_q = var_q + cov[:, ib, ib]
-                if ia >= 0 and ib >= 0:
-                    var_q = var_q - 2.0 * cov[:, ia, ib]
-                ph.append(d * d / var_q)
-        out["posthoc_t2"] = (
-            jnp.stack(ph, axis=1) if ph else jnp.zeros((spec.n_grid, 0), jnp.float64)
-        )
-
-    return out
+    return waldstats.add_posthoc(out, spec, beta, cov)

@@ -30,7 +30,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import smallchol
+from . import smallchol, waldstats
 from .spec import SimSpec
 
 
@@ -60,8 +60,16 @@ def grid_suffstats(spec: SimSpec, Xf, yf):
     return xtx, xty, yty, ysum
 
 
-def ols_grid_stats(spec: SimSpec, arr: Dict, X, y) -> Dict[str, jnp.ndarray]:
+def ols_grid_stats(
+    spec: SimSpec, arr: Dict, X, y, colmask=None
+) -> Dict[str, jnp.ndarray]:
     """All OLS test statistics for one sim across the grid.
+
+    ``colmask`` (G, P_fit) of 0/1 runs the sparse-factor REDUCED fit: masked
+    columns are zeroed out of the suff-stats and their betas pinned to 0 via
+    a unit diagonal (the masked-recomputation equivalent of the reference's
+    reduced refit, batch.rs:2418-2570); residual df shrinks accordingly and
+    the caller compares against reduced-df crit rows.
 
     Returns dict with 't2' (G, n_targets), 'overall' (G,), 'converged' (G,).
     """
@@ -73,6 +81,14 @@ def ols_grid_stats(spec: SimSpec, arr: Dict, X, y) -> Dict[str, jnp.ndarray]:
     xtx, xty, yty, ysum = grid_suffstats(spec, Xf, yf)
     ns = jnp.asarray(spec.grid, dtype=jnp.float64)
 
+    if colmask is not None:
+        xtx = xtx * colmask[:, :, None] * colmask[:, None, :]
+        xtx = xtx + jax.vmap(jnp.diag)(1.0 - colmask)
+        xty = xty * colmask
+        p_eff = jnp.sum(colmask, axis=1)
+    else:
+        p_eff = jnp.full(spec.n_grid, float(pf))
+
     # Batched solve over the grid axis via the unrolled static-p kernel
     # (smallchol): pure fused VPU arithmetic instead of XLA's loop-based
     # cholesky — the difference between ~8 s and ~ms at 10k sims.
@@ -81,26 +97,14 @@ def ols_grid_stats(spec: SimSpec, arr: Dict, X, y) -> Dict[str, jnp.ndarray]:
     inv = smallchol.cho_inverse(chol)
 
     rss = yty - jnp.einsum("gp,gp->g", beta, xty)
-    df_resid = jnp.maximum(ns - pf, 1.0)
+    df_resid = jnp.maximum(ns - p_eff, 1.0)
     sigma2 = rss / df_resid
 
-    inv_diag = jnp.diagonal(inv, axis1=-2, axis2=-1)  # (G, P)
-
-    t2_cols = []
-    for tcol in spec.target_cols:
-        t2_cols.append(beta[:, tcol] ** 2 / (sigma2 * inv_diag[:, tcol]))
-    for a, b in spec.contrasts:
-        d = beta[:, a] - beta[:, b]
-        var_c = sigma2 * (inv[:, a, a] + inv[:, b, b] - 2.0 * inv[:, a, b])
-        t2_cols.append(d * d / var_c)
-    t2 = (
-        jnp.stack(t2_cols, axis=1)
-        if t2_cols
-        else jnp.zeros((spec.n_grid, 0), jnp.float64)
-    )
+    cov = sigma2[:, None, None] * inv  # Wald covariance of beta
+    t2 = waldstats.t2_targets(spec, beta, cov)
 
     tss = yty - ysum * ysum / ns
-    df1 = max(pf - 1, 1)
+    df1 = jnp.maximum(p_eff - 1.0, 1.0)
     overall = ((tss - rss) / df1) / sigma2
 
     converged = (
@@ -111,30 +115,5 @@ def ols_grid_stats(spec: SimSpec, arr: Dict, X, y) -> Dict[str, jnp.ndarray]:
     )
 
     out = {"t2": t2, "overall": overall, "converged": converged}
-
     # Post-hoc pairwise contrasts (t^2 against the factor's Tukey/Bonf crit).
-    if spec.posthoc:
-        ph = []
-        col_to_fit = {c: i for i, c in enumerate(fit_cols)}
-        for block in spec.posthoc:
-            for ca, cb in block.pairs:
-                ia = col_to_fit.get(ca, -1) if ca >= 0 else -1
-                ib = col_to_fit.get(cb, -1) if cb >= 0 else -1
-                # c vector has +1 at ia, -1 at ib; -1 index means reference
-                # level (no column — contribution 0).
-                d = jnp.zeros(spec.n_grid, jnp.float64)
-                var_q = jnp.zeros(spec.n_grid, jnp.float64)
-                if ia >= 0:
-                    d = d + beta[:, ia]
-                    var_q = var_q + inv[:, ia, ia]
-                if ib >= 0:
-                    d = d - beta[:, ib]
-                    var_q = var_q + inv[:, ib, ib]
-                if ia >= 0 and ib >= 0:
-                    var_q = var_q - 2.0 * inv[:, ia, ib]
-                ph.append(d * d / (sigma2 * var_q))
-        out["posthoc_t2"] = (
-            jnp.stack(ph, axis=1) if ph else jnp.zeros((spec.n_grid, 0), jnp.float64)
-        )
-
-    return out
+    return waldstats.add_posthoc(out, spec, beta, cov)

@@ -290,6 +290,28 @@ class SimSpec:
             assert 0 <= a < len(fit) and 0 <= b < len(fit)
 
 
+def factor_dependent_cols(spec: SimSpec, f: int) -> Tuple[int, ...]:
+    """Design columns removed when factor ``f`` is excluded: its dummies and
+    every interaction touching one of them (reference batch.rs
+    build_exclusion_remap, crates/engine-core/src/batch.rs:2502)."""
+    dummies = set(spec.factor_dummy_cols(f))
+    cols = sorted(dummies)
+    for j, comps in enumerate(spec.interactions):
+        if any(c in dummies for c in comps):
+            cols.append(spec.interaction_col_start + j)
+    return tuple(cols)
+
+
+def max_droppable_fit_cols(spec: SimSpec) -> int:
+    """Largest number of FIT columns sparse-factor exclusion can remove
+    (sizes the reduced-df crit tables)."""
+    fit = set(spec.effective_fit_cols)
+    dropped = set()
+    for f in range(len(spec.factor_levels)):
+        dropped |= set(factor_dependent_cols(spec, f)) & fit
+    return len(dropped)
+
+
 def expected_arrays(spec: SimSpec) -> Dict[str, tuple]:
     """Shapes the `arrays` dict must carry for a given spec (documentation +
     validation helper used by tests)."""

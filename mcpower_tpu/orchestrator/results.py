@@ -151,6 +151,10 @@ def fold_counts(
             ).tolist()
         if "singular" in counts:
             extras["singular_fit_rate"] = rate(counts["singular"], n_done).tolist()
+        if "separation_fallback" in counts:
+            extras["separation_fallback_rate"] = rate(
+                counts["separation_fallback"], n_done
+            ).tolist()
         if "tau2_hat" in counts:
             extras["tau_squared_hat_mean"] = _converged_mean(
                 counts["tau2_hat"], converged

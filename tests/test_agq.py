@@ -82,8 +82,8 @@ def test_agq_close_to_laplace_at_moderate_clusters():
     p_l = cl["sig_unc"][0, 0] / cl["n_done"]
     p_a = ca["sig_unc"][0, 0] / ca["n_done"]
     assert abs(p_l - p_a) < 0.05, (p_l, p_a)
-    t_l = cl["tau2_hat"][0] / cl["n_done"]
-    t_a = ca["tau2_hat"][0] / ca["n_done"]
+    t_l = cl["tau2_hat"][0] / cl["converged"][0]
+    t_a = ca["tau2_hat"][0] / ca["converged"][0]
     assert abs(t_l - t_a) < 0.06, (t_l, t_a)
 
 
