@@ -1,0 +1,158 @@
+"""CLI host: run contract files against the engine from OUTSIDE Python.
+
+This is the second host the reference's architecture demands ("one engine,
+four ports" — hosts are marshalling shells over the contract boundary,
+web/documentation/internals/engine-architecture.md:5-13). It consumes
+label-free contract files (msgpack, the reference's FFI encoding, or JSON),
+validates them through the single gate, runs the two entry operations, and
+emits the host-neutral result tree as JSON.
+
+    python -m mcpower_tpu validate contracts.msgpack
+    python -m mcpower_tpu run contracts.msgpack --n 200 [--n-sims 1000]
+    python -m mcpower_tpu search contracts.msgpack --from 50 --to 400
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load(path: str):
+    from .contract import wire
+
+    contracts = wire.load(path)
+    if not contracts:
+        raise SystemExit(f"{path}: no contracts found")
+    return contracts
+
+
+def _target_labels(contract) -> list:
+    out = []
+    for t in contract.test.targets:
+        kind = t[0]
+        if kind == "marginal":
+            out.append(f"term_{t[1]}")
+        elif kind == "contrast":
+            out.append(f"contrast_{t[1]}_vs_{t[2]}")
+        else:
+            out.append("joint")
+    return out
+
+
+def _lowered(contracts, grid):
+    from .engine.adapter import contract_to_lowered
+    from .orchestrator import runner
+
+    lowered = []
+    for i, c in enumerate(contracts):
+        label = c.scenario.label if c.scenario else f"scenario_{i}"
+        spec, arrays = contract_to_lowered(c, grid)
+        lowered.append(
+            runner.LoweredScenario(
+                label=label,
+                spec=spec,
+                arrays=arrays,
+                target_labels=_target_labels(c),
+            )
+        )
+    return lowered
+
+
+def cmd_validate(args) -> int:
+    from .contract.validate import ContractError, validate
+
+    contracts = _load(args.file)
+    failures = 0
+    for i, c in enumerate(contracts):
+        try:
+            validate(c)
+            print(f"contract[{i}]: OK")
+        except ContractError as e:
+            failures += 1
+            print(f"contract[{i}]: INVALID — {e}", file=sys.stderr)
+    return 1 if failures else 0
+
+
+def cmd_run(args) -> int:
+    from .orchestrator import grid as gridmod, runner
+
+    contracts = _load(args.file)
+    probe = _lowered(contracts[:1], [max(int(args.n), 4)])[0]
+    n_snapped, _ = gridmod.snap_single_n(probe.spec.cluster, int(args.n))
+    lowered = _lowered(contracts, [n_snapped])
+    out = runner.find_power(
+        lowered, n_sims=int(args.n_sims), base_seed=int(args.seed)
+    )
+    json.dump(out, _out_fh(args), indent=None if args.compact else 2)
+    print(file=_out_fh(args))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .orchestrator import grid as gridmod, runner
+
+    contracts = _load(args.file)
+    probe = _lowered(contracts[:1], [max(int(args.to), 4)])[0]
+    atom = gridmod.cluster_atom(probe.spec.cluster)
+    hard_min = gridmod.hard_min_n(probe.spec.cluster)
+    grid_ns, _warnings = gridmod.build_grid(
+        int(getattr(args, "from")), int(args.to), args.by, args.mode,
+        atom, hard_min,
+    )
+    lowered = _lowered(contracts, grid_ns)
+    out = runner.find_sample_size(
+        lowered,
+        n_sims=int(args.n_sims),
+        base_seed=int(args.seed),
+        target_power=float(args.target_power),
+        atom=atom,
+    )
+    json.dump(out, _out_fh(args), indent=None if args.compact else 2)
+    print(file=_out_fh(args))
+    return 0
+
+
+def _out_fh(args):
+    if getattr(args, "_fh", None) is None:
+        args._fh = open(args.out, "w") if args.out else sys.stdout
+    return args._fh
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mcpower_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validate contract file(s)")
+    v.add_argument("file")
+    v.set_defaults(fn=cmd_validate)
+
+    r = sub.add_parser("run", help="power at a single N")
+    r.add_argument("file")
+    r.add_argument("--n", required=True, type=int, help="sample size")
+    r.add_argument("--n-sims", default=1600, type=int)
+    r.add_argument("--seed", default=2137, type=int)
+    r.add_argument("--out", default=None)
+    r.add_argument("--compact", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("search", help="sample-size search over a CRN grid")
+    s.add_argument("file")
+    s.add_argument("--from", dest="from", required=True, type=int)
+    s.add_argument("--to", required=True, type=int)
+    s.add_argument("--by", default="auto")
+    s.add_argument("--mode", default="linear", choices=["linear", "log"])
+    s.add_argument("--target-power", default=80.0, type=float)
+    s.add_argument("--n-sims", default=1600, type=int)
+    s.add_argument("--seed", default=2137, type=int)
+    s.add_argument("--out", default=None)
+    s.add_argument("--compact", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
