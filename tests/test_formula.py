@@ -1,9 +1,10 @@
-"""Formula + assignment parser goldens.
+"""Formula + assignment parser goldens, loaded VERBATIM from the
+reference's cross-port fixture corpus (configs/formula-fixtures/, vendored
+at tests/fixtures/formula-fixtures/) so parser drift is impossible — the
+same JSON drives the reference's golden_test.rs."""
 
-The cross-port parser truth: the same cases as the reference's golden corpus
-(configs/formula-fixtures/), re-expressed here as native pytest params, so
-both frameworks accept identical formula strings with identical term order.
-"""
+import json
+from pathlib import Path
 
 import pytest
 
@@ -14,107 +15,69 @@ from mcpower_tpu.specbuilder.assignments import (
 )
 from mcpower_tpu.specbuilder.formula import FormulaError, parse_formula
 
-M = lambda n: {"kind": "main", "name": n}
-I = lambda *v: {"kind": "interaction", "vars": list(v)}
-RI = lambda g, parent=None: {"group": g, "kind": "intercept", "parent": parent}
-RS = lambda g, *v: {"group": g, "kind": "slope", "vars": list(v)}
-
-OK_CASES = [
-    # (formula, dependent, predictors, terms, random_effects)
-    ("y ~ x1 + x2", "y", ["x1", "x2"], [M("x1"), M("x2")], []),
-    (
-        "y ~ x1*x2*x3",
-        "y",
-        ["x1", "x2", "x3"],
-        [
-            M("x1"), M("x2"), M("x3"),
-            I("x1", "x2"), I("x1", "x3"), I("x2", "x3"), I("x1", "x2", "x3"),
-        ],
-        [],
-    ),
-    ("y ~ x1 + x2 + x1:x2", "y", ["x1", "x2"], [M("x1"), M("x2"), I("x1", "x2")], []),
-    ("y ~ x + (1|g)", "y", ["x"], [M("x")], [RI("g")]),
-    ("y ~ x + (1+x|g)", "y", ["x"], [M("x")], [RS("g", "x")]),
-    ("y ~ x + z + (1+x+z|g)", "y", ["x", "z"], [M("x"), M("z")], [RS("g", "x", "z")]),
-    ("y ~ x + (1|A/B)", "y", ["x"], [M("x")], [RI("A"), RI("A:B", "A")]),
-    ("x1 + x2", "explained_variable", ["x1", "x2"], [M("x1"), M("x2")], []),
-    ("y = x1 + x2", "y", ["x1", "x2"], [M("x1"), M("x2")], []),
-    ("y ~ (1|g)", "y", [], [], [RI("g")]),
-    ("y ~ x1*x2", "y", ["x1", "x2"], [M("x1"), M("x2"), I("x1", "x2")], []),
-    (
-        "y ~ a*b + c:d",
-        "y",
-        ["a", "b", "c", "d"],
-        [M("a"), M("b"), I("a", "b"), I("c", "d")],
-        [],
-    ),
-    ("y ~ x1:x2:x3", "y", ["x1", "x2", "x3"], [I("x1", "x2", "x3")], []),
-    ("y ~ x1 + x1 + x2", "y", ["x1", "x2"], [M("x1"), M("x2")], []),
-    (
-        "y ~ x1*x2 + z",
-        "y",
-        ["x1", "x2", "z"],
-        [M("x1"), M("x2"), I("x1", "x2"), M("z")],
-        [],
-    ),
-    ("y ~ x + (1|g) + (1|h)", "y", ["x"], [M("x")], [RI("g"), RI("h")]),
-    (
-        "y ~ x1*x2 + (1|g)",
-        "y",
-        ["x1", "x2"],
-        [M("x1"), M("x2"), I("x1", "x2")],
-        [RI("g")],
-    ),
-    (
-        "y ~ x + z + (1|school/class)",
-        "y",
-        ["x", "z"],
-        [M("x"), M("z")],
-        [RI("school"), RI("school:class", "school")],
-    ),
-    (
-        "y ~ x1 + x2 + x1:x2 + (1+x1|g)",
-        "y",
-        ["x1", "x2"],
-        [M("x1"), M("x2"), I("x1", "x2")],
-        [RS("g", "x1")],
-    ),
-    # pinned RE order: slopes before intercepts
-    (
-        "y ~ x + z + (1|g) + (1+x+z|h)",
-        "y",
-        ["x", "z"],
-        [M("x"), M("z")],
-        [RS("h", "x", "z"), RI("g")],
-    ),
-    ("y ~ x + (x|g)", "y", ["x"], [M("x")], [RS("g", "x")]),
-]
+FIXTURES = Path(__file__).parent / "fixtures" / "formula-fixtures"
+_CASES = json.loads((FIXTURES / "cases.json").read_text())["cases"]
+OK_CASES = [c for c in _CASES if "expected" in c]
+ERR_CASES = [c for c in _CASES if "error" in c]
+assert len(OK_CASES) + len(ERR_CASES) == len(_CASES) == 28
 
 
-@pytest.mark.parametrize("formula,dep,preds,terms,res", OK_CASES)
-def test_formula_golden(formula, dep, preds, terms, res):
-    p = parse_formula(formula)
-    assert p.dependent == dep
-    assert p.predictors == preds
-    assert p.terms == terms
-    assert [r.to_dict() for r in p.random_effects] == res
+@pytest.mark.parametrize("case", OK_CASES, ids=lambda c: c["id"])
+def test_formula_golden(case):
+    p = parse_formula(case["formula"])
+    e = case["expected"]
+    assert p.dependent == e["dependent"]
+    assert p.predictors == e["predictors"]
+    assert p.terms == e["terms"]
+    assert [r.to_dict() for r in p.random_effects] == e["random_effects"]
 
 
-ERR_CASES = [
-    ("y ~ 1x", "formula syntax error"),
-    ("y ~ x + (1|g) + (1|g)", "duplicate grouping variable: g"),
-    ("y ~ x + (1|g) + (1+x|g)", "duplicate grouping variable: g"),
-    ("", "formula is empty"),
-    ("y ~ x1 - x2", "term removal with '-'"),
-    ("y ~ x + (0+x|g)", "intercept suppression"),
-    ("y ~ x + (-1+x|g)", "intercept suppression"),
-]
+@pytest.mark.parametrize("case", ERR_CASES, ids=lambda c: c["id"])
+def test_formula_errors(case):
+    msg = case["error"].replace("(", "\\(").replace(")", "\\)")
+    with pytest.raises(FormulaError, match=msg):
+        parse_formula(case["formula"])
 
 
-@pytest.mark.parametrize("formula,msg", ERR_CASES)
-def test_formula_errors(formula, msg):
-    with pytest.raises(FormulaError, match=msg.replace("(", "\\(").replace(")", "\\)")):
-        parse_formula(formula)
+def _assignment_fixtures():
+    out = []
+    for f in sorted((FIXTURES / "assignments").glob("*.json")):
+        out.append((f.stem, json.loads(f.read_text())))
+    return out
+
+
+@pytest.mark.parametrize("name,fx", _assignment_fixtures(), ids=lambda x: x if isinstance(x, str) else "")
+def test_assignment_fixture_golden(name, fx):
+    known = fx["known"]
+    kind = fx["kind"]
+    exp = fx["expected"]
+    if "error" in exp:
+        with pytest.raises(AssignmentError, match=exp["error"]):
+            parse_assignments(fx["input"], kind, known["predictors"],
+                              interaction_terms=known["interaction_terms"])
+        return
+    items, errors = parse_assignments(
+        fx["input"], kind, known["predictors"],
+        interaction_terms=known["interaction_terms"],
+    )
+    assert errors == exp["errors"]
+    assert len(items) == len(exp["items"])
+    for item, want in zip(items, exp["items"]):
+        wkey = want["key"]
+        if "name" in wkey:
+            assert item.key == wkey["name"]
+        else:  # correlation pair key
+            assert item.key == ("pair", tuple(wkey["pair"]))
+        wval = want["value"]
+        if "variable_type" in wval:
+            vt = dict(wval["variable_type"])
+            assert item.value.pop("type") == vt.pop("type")
+            for k, v in vt.items():
+                assert item.value[k] == pytest.approx(v)
+        elif "effect" in wval:
+            assert item.value == pytest.approx(wval["effect"])
+        elif "correlation" in wval:
+            assert item.value == pytest.approx(wval["correlation"])
 
 
 # --- assignment DSL goldens ---
