@@ -499,9 +499,13 @@ class MCPower:
             raise ValueError("wald_se must be 'rx' or 'hessian'")
         nagq = int(agq) if agq is not None else int(est["nagq"])
         if nagq != 1:
+            has_slopes = any(
+                cfg.get("random_slopes") for cfg in self._clusters.values()
+            )
             eligible = (
                 self.outcome_kind in ("binary", "count")
                 and bool(self._clusters)
+                and not has_slopes  # AGQ is intercept-only (lme4 parity)
                 and nagq % 2 == 1
                 and 3 <= nagq <= 25
             )
@@ -624,9 +628,7 @@ class MCPower:
         )
         out = self._package(results, names, kind="power")
         if verbose:
-            from .output.report import power_report
-
-            print(power_report(out, alpha=self.alpha))
+            print(out.summary())
         self.last_result = out
         return out
 
@@ -691,9 +693,7 @@ class MCPower:
         )
         out = self._package(results, names, kind="sample_size")
         if verbose:
-            from .output.report import sample_size_report
-
-            print(sample_size_report(out, target_power=tpow))
+            print(out.summary(target_power=tpow))
         self.last_result = out
         return out
 
@@ -793,18 +793,28 @@ class MCPower:
             ):
                 if w and w not in res["warnings"]:
                     res["warnings"].append(w)
+        from .output.results import wrap_result
+
         if len(names) == 1:
-            return results[names[0]]
-        return {
-            "scenarios": results,
-            "comparison": {
-                "labels": names,
-                "power_corrected_by_scenario": {
-                    n: results[n]["powers"]["corrected"] for n in names
+            out = dict(results[names[0]])
+            out["alpha"] = self.alpha
+            return wrap_result(out, kind)
+        return wrap_result(
+            {
+                "scenarios": results,
+                "comparison": {
+                    "labels": names,
+                    "power_corrected_by_scenario": {
+                        n: results[n]["powers"]["corrected"] for n in names
+                    },
                 },
+                "result_kind": kind,
+                "alpha": self.alpha,
+                "formula": self._registry.formula,
+                "family": self.family,
             },
-            "result_kind": kind,
-        }
+            kind,
+        )
 
     def debug(
         self,

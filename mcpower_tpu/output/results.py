@@ -1,0 +1,229 @@
+"""Result wrapper objects: dict-compatible trees with rich presentation.
+
+The reference's Python port returns wrapper objects exposing ``.summary()``
+text reports, Jupyter HTML reprs, and plot bundles over the host-neutral
+result tree (ports/py/mcpower/output/results.py). These wrappers subclass
+``dict`` so every consumer of the raw tree (merge, plots, tests, JSON
+serialization) keeps working unchanged — the presentation layer is additive.
+"""
+
+from __future__ import annotations
+
+from html import escape
+from typing import Any, Dict, List
+
+
+class ResultBase(dict):
+    """Host-neutral result tree + presentation methods."""
+
+    _kind = "result"
+
+    def summary(self) -> str:
+        """Formatted text report (what verbose=True prints)."""
+        raise NotImplementedError
+
+    def __repr__(self) -> str:  # keep the notebook/print surface compact
+        return self.summary()
+
+    def _repr_html_(self) -> str:
+        return _html_report(self)
+
+    @property
+    def warnings(self) -> List[str]:
+        if "scenarios" in self:
+            out: List[str] = []
+            for res in self["scenarios"].values():
+                for w in res.get("warnings", []):
+                    if w not in out:
+                        out.append(w)
+            return out
+        return list(self.get("warnings", []))
+
+    @property
+    def scenarios(self) -> Dict[str, "ResultBase"]:
+        """Per-scenario subtrees (single-scenario results wrap themselves)."""
+        if "scenarios" in self:
+            return {
+                k: wrap_result(v, self.get("result_kind", self._kind))
+                for k, v in self["scenarios"].items()
+            }
+        return {self.get("scenario", "optimistic"): self}
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(self)
+
+
+class PowerResult(ResultBase):
+    _kind = "power"
+
+    def summary(self, alpha: float = None) -> str:
+        from .report import power_report
+
+        return power_report(self, alpha=self.get("alpha", alpha or 0.05))
+
+    def plots(self) -> Dict[str, Dict]:
+        from .plotting import power_plot_set
+
+        res = self if "scenarios" not in self else next(
+            iter(self["scenarios"].values())
+        )
+        return power_plot_set(res)
+
+
+class SampleSizeResult(ResultBase):
+    _kind = "sample_size"
+
+    def summary(self, target_power: float = None) -> str:
+        from .report import sample_size_report
+
+        tp = target_power
+        if tp is None:
+            res0 = self if "scenarios" not in self else next(
+                iter(self["scenarios"].values())
+            )
+            tp = 100.0 * res0.get("target_power", 0.8)
+        return sample_size_report(self, target_power=tp)
+
+    def plots(self) -> Dict[str, Dict]:
+        from .plotting import sample_size_plot_set
+
+        res = self if "scenarios" not in self else next(
+            iter(self["scenarios"].values())
+        )
+        return sample_size_plot_set(res)
+
+
+def wrap_result(tree: Dict, kind: str) -> ResultBase:
+    """Wrap a folded result tree (or scenario envelope) by result kind."""
+    cls = SampleSizeResult if kind == "sample_size" else PowerResult
+    if isinstance(tree, cls):
+        return tree
+    return cls(tree)
+
+
+# ---------------------------------------------------------------------------
+# Jupyter HTML rendering
+# ---------------------------------------------------------------------------
+
+_TABLE_STYLE = (
+    "border-collapse:collapse;font-family:monospace;font-size:13px"
+)
+_TH = "text-align:left;padding:2px 10px;border-bottom:1px solid #888"
+_TD = "text-align:left;padding:2px 10px"
+
+
+def _pct(x: float) -> str:
+    return f"{100.0 * x:.1f}%"
+
+
+def _scenario_trees(result: Dict) -> Dict[str, Dict]:
+    if "scenarios" in result:
+        return result["scenarios"]
+    return {result.get("scenario", "optimistic"): result}
+
+
+def _html_power_table(res: Dict) -> str:
+    labels = res.get("target_labels", [])
+    powers = res.get("powers", {})
+    corrected = res.get("alpha_correction", "none") != "none"
+    head = ["Test", "Power", "CI 95%"] + (
+        ["Power (corr)", "CI 95%"] if corrected else []
+    )
+    rows = []
+    g = len(res.get("sample_sizes", [0])) - 1  # last grid point
+    for i, lab in enumerate(labels):
+        cells = [
+            escape(lab),
+            _pct(powers["uncorrected"][g][i]),
+            "[" + ", ".join(_pct(v) for v in powers["ci_uncorrected"][g][i]) + "]",
+        ]
+        if corrected:
+            cells += [
+                _pct(powers["corrected"][g][i]),
+                "[" + ", ".join(_pct(v) for v in powers["ci_corrected"][g][i]) + "]",
+            ]
+        rows.append(cells)
+    if res.get("overall_significant_rate") is not None:
+        rows.append(
+            [
+                "Overall",
+                _pct(res["overall_significant_rate"][g]),
+                "["
+                + ", ".join(_pct(v) for v in res["overall_significant_ci"][g])
+                + "]",
+            ]
+            + ([""] * 2 if corrected else [])
+        )
+    body = "".join(
+        "<tr>" + "".join(f'<td style="{_TD}">{c}</td>' for c in r) + "</tr>"
+        for r in rows
+    )
+    header = "".join(f'<th style="{_TH}">{escape(h)}</th>' for h in head)
+    return (
+        f'<table style="{_TABLE_STYLE}"><thead><tr>{header}</tr></thead>'
+        f"<tbody>{body}</tbody></table>"
+    )
+
+
+def _html_sample_size_table(res: Dict) -> str:
+    fits = res.get("fitted", {})
+    first = res.get("first_achieved", {})
+    head = ["Test", "Required N", "CI 95%", "First achieved"]
+    rows = []
+    for lab, fit in fits.items():
+        n_star = fit.get("n_achievable") or fit.get("n_star")
+        ci = (
+            f"[{fit['ci_lo']}, {fit['ci_hi']}]"
+            if fit.get("ci_lo") is not None
+            else "—"
+        )
+        rows.append(
+            [
+                escape(lab),
+                str(n_star) if n_star is not None else f"> {res['sample_sizes'][-1]}",
+                ci,
+                str(first.get(lab, "—")),
+            ]
+        )
+    body = "".join(
+        "<tr>" + "".join(f'<td style="{_TD}">{c}</td>' for c in r) + "</tr>"
+        for r in rows
+    )
+    header = "".join(f'<th style="{_TH}">{escape(h)}</th>' for h in head)
+    return (
+        f'<table style="{_TABLE_STYLE}"><thead><tr>{header}</tr></thead>'
+        f"<tbody>{body}</tbody></table>"
+    )
+
+
+def _html_report(result: Dict) -> str:
+    kind = result.get("result_kind", "power")
+    parts = ['<div style="font-family:sans-serif">']
+    title = "Power analysis" if kind == "power" else "Sample-size search"
+    sub = []
+    if result.get("formula"):
+        sub.append(escape(str(result["formula"])))
+    if result.get("family"):
+        sub.append(f"family={escape(str(result['family']))}")
+    parts.append(
+        f"<h3 style='margin:4px 0'>MCPower · {title}</h3>"
+        + (f"<p style='margin:2px 0;color:#555'>{' · '.join(sub)}</p>" if sub else "")
+    )
+    for label, res in _scenario_trees(result).items():
+        if len(_scenario_trees(result)) > 1:
+            parts.append(f"<h4 style='margin:8px 0 2px'>{escape(label)}</h4>")
+        n = res.get("sample_sizes", ["?"])[-1]
+        parts.append(
+            f"<p style='margin:2px 0;color:#555'>N = {n}, "
+            f"n_sims = {res.get('n_sims', '?')}</p>"
+        )
+        if kind == "sample_size" and res.get("fitted"):
+            parts.append(_html_sample_size_table(res))
+        else:
+            parts.append(_html_power_table(res))
+        for w in res.get("warnings", []):
+            parts.append(
+                f"<p style='margin:2px 0;color:#b45309'>⚠ {escape(w)}</p>"
+            )
+    parts.append("</div>")
+    return "".join(parts)

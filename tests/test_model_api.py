@@ -209,3 +209,33 @@ def test_glmm_laplace_bias_warning_fires():
     tau = max(res["estimator_extras"]["glm"]["tau_squared_hat_mean"])
     assert tau > 1.0  # true tau^2 ~ 3.29 at ICC 0.5 (logit)
     assert any("Laplace" in w for w in res["warnings"]), res["warnings"]
+
+
+def test_result_wrapper_objects():
+    """Results are dict-compatible wrappers with .summary() and HTML repr
+    (reference ports/py/mcpower/output/results.py)."""
+    from mcpower_tpu.output.results import PowerResult, SampleSizeResult
+
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.5").set_simulations(200)
+    res = m.find_power(sample_size=100, verbose=False)
+    assert isinstance(res, PowerResult)
+    assert isinstance(res, dict)  # raw-tree compatibility
+    txt = res.summary()
+    assert "Power" in txt and "x1" in txt
+    html = res._repr_html_()
+    assert "<table" in html and "x1" in html
+    assert "optimistic" in res.scenarios
+
+    res2 = m.find_sample_size(
+        from_size=40, to_size=160, n_sims=200, verbose=False
+    )
+    assert isinstance(res2, SampleSizeResult)
+    assert "Required N" in res2.summary()
+    assert "<table" in res2._repr_html_()
+
+    # scenario envelope wraps too, with merged warnings + comparison intact
+    res3 = m.find_power(sample_size=100, scenarios=True, verbose=False)
+    assert isinstance(res3, PowerResult)
+    assert set(res3.scenarios) >= {"optimistic", "realistic", "doomer"}
+    assert "<table" in res3._repr_html_()
