@@ -4,8 +4,11 @@ North star (BASELINE.md / BASELINE.json): the reference's hardest arm — a
 10,000-replicate mixed-model power run — in under 1 second on one TPU chip.
 ``vs_baseline`` is the speedup against that 1 s target (>1 = beating it).
 
-Prints ONE JSON line. Run on the real TPU (no env overrides); first compile
-is excluded by a warmup batch.
+Prints ONE JSON line: the headline LMM metric, plus ``extra`` timings for
+the other driver-visible acceptance arms (BASELINE.json: OLS t-test and GLM
+runs at 10k replicates) so every arm's wall-clock is recorded per round.
+Run on the real TPU (no env overrides); first compile is excluded by a
+warmup batch at the same chunk shape.
 """
 
 import json
@@ -14,14 +17,30 @@ import time
 import numpy as np
 
 
+def _timed(spec, arrays, n_sims, min_converged=0.9):
+    from mcpower_tpu.engine import batch
+
+    batch.run_batch(spec, arrays, n_sims=n_sims, base_seed=1, chunk_size=n_sims)
+    t0 = time.perf_counter()
+    counts = batch.run_batch(
+        spec, arrays, n_sims=n_sims, base_seed=2137, chunk_size=n_sims
+    )
+    elapsed = time.perf_counter() - t0
+    assert int(counts["n_done"]) == n_sims
+    assert counts["converged"][0] > min_converged * n_sims
+    return elapsed
+
+
 def main():
     import jax
 
-    from mcpower_tpu.engine import batch, lower
+    from mcpower_tpu.engine import lower
     from mcpower_tpu.engine.spec import ClusterStatic
 
     n_sims = 10_000
-    spec, arrays = lower.lower(
+
+    # Headline: the reference's hardest arm — random-intercept LMM.
+    spec_lmm, arr_lmm = lower.lower(
         grid=[200],
         var_types=["normal", "normal"],
         corr=np.array([[1.0, 0.3], [0.3, 1.0]]),
@@ -32,29 +51,40 @@ def main():
             sizing_mode="fixed_clusters", sizing_value=20, tau_squared=0.25
         ),
     )
-    arrays = jax.device_put(arrays)
+    lmm_s = _timed(spec_lmm, jax.device_put(arr_lmm), n_sims)
 
-    # Warmup: compile + first dispatch at the SAME chunk shape (a different
-    # chunk size would compile a different program), excluded from timing.
-    batch.run_batch(spec, arrays, n_sims=n_sims, base_seed=1, chunk_size=n_sims)
-
-    t0 = time.perf_counter()
-    counts = batch.run_batch(
-        spec, arrays, n_sims=n_sims, base_seed=2137, chunk_size=n_sims
+    # BASELINE acceptance arms (same replicate budget, driver-visible).
+    spec_ols, arr_ols = lower.lower(
+        grid=[200],
+        var_types=["binary"],
+        var_params=[0.5],
+        effects=np.array([0.0, 0.4]),
+        target_cols=[1],
     )
-    elapsed = time.perf_counter() - t0
+    ols_s = _timed(spec_ols, jax.device_put(arr_ols), n_sims)
 
-    # sanity: the run actually fit 10k mixed models
-    assert int(counts["n_done"]) == n_sims
-    assert counts["converged"][0] > 0.9 * n_sims
+    spec_glm, arr_glm = lower.lower(
+        grid=[300],
+        var_types=["normal", "normal", "normal"],
+        effects=np.array([-0.4, 0.3, 0.2, 0.15]),
+        target_cols=[1, 2, 3],
+        outcome="binary",
+        estimator="glm",
+        correction="bonferroni",
+    )
+    glm_s = _timed(spec_glm, jax.device_put(arr_glm), n_sims)
 
     print(
         json.dumps(
             {
                 "metric": "lmm_10k_replicate_power_run",
-                "value": round(elapsed, 4),
+                "value": round(lmm_s, 4),
                 "unit": "s",
-                "vs_baseline": round(1.0 / elapsed, 2),
+                "vs_baseline": round(1.0 / lmm_s, 2),
+                "extra": {
+                    "ols_10k_s": round(ols_s, 4),
+                    "glm_bonferroni_10k_s": round(glm_s, 4),
+                },
             }
         )
     )

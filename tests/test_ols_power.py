@@ -155,3 +155,36 @@ def test_overall_f_null_rate():
     counts = batch.run_batch(spec, arrays, n_sims=3000, base_seed=17)
     rate = counts["overall"][0] / counts["n_done"]
     assert abs(rate - 0.05) < 0.012, rate
+
+
+def test_power_accuracy_at_5_sigma_alpha():
+    """Extreme-tail regime (alpha = 5e-7, the 5-sigma claim of BASELINE.md
+    row 2): MC power within 1 pp of the exact oracle.
+
+    Oracle: for simple regression with random N(0,1) x and unit residuals,
+    the t statistic given realized Sxx = sum (x_i - xbar)^2 is noncentral-t
+    with ncp = beta sqrt(Sxx); Sxx ~ chi2_{N-1}. Power = E_Sxx[nct tail],
+    integrated numerically — independent of all engine code.
+    """
+    alpha = 5e-7
+    beta_true, N, n_sims = 0.55, 100, 40_000
+    spec, arrays = lower.lower(
+        grid=[N],
+        alpha=alpha,
+        var_types=["normal"],
+        effects=np.array([0.0, beta_true]),
+        target_cols=[1],
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=n_sims, base_seed=2137)
+    p_hat = counts["sig_unc"][0, 0] / counts["n_done"]
+
+    df = N - 2
+    tcrit = stats.t.ppf(1 - alpha / 2, df)
+    s_grid = np.linspace(stats.chi2.ppf(1e-10, N - 1),
+                         stats.chi2.ppf(1 - 1e-10, N - 1), 4001)
+    w = stats.chi2.pdf(s_grid, N - 1)
+    ncp = beta_true * np.sqrt(s_grid)
+    tail = 1 - stats.nct.cdf(tcrit, df, ncp) + stats.nct.cdf(-tcrit, df, ncp)
+    oracle = np.trapezoid(w * tail, s_grid) / np.trapezoid(w, s_grid)
+    assert 0.2 < oracle < 0.95, oracle  # test sits in the informative band
+    assert abs(p_hat - oracle) < 0.01, (p_hat, oracle)
