@@ -4,25 +4,36 @@ Multi-chip sharding is validated without TPU hardware by forcing the host
 platform to expose 8 virtual devices (the same mechanism the driver's
 ``dryrun_multichip`` uses). x64 is enabled so fit-path parity tests can hit
 the reference's float64 tolerances.
+
+PLATFORM FORCING: on this host a TPU plugin registers at interpreter start
+(sitecustomize) and snapshots the platform ENV VARS then — setting
+``JAX_PLATFORMS``/``JAX_PLATFORM_NAME`` in ``os.environ`` from conftest is
+too late and the whole suite silently dispatches through the TPU tunnel
+(30-60 s per compile; large programs get the remote compile helper
+OOM-killed). ``jax.config.update("jax_platforms", ...)`` bypasses the env
+snapshot — it is read at backend-selection time. XLA_FLAGS is still
+honoured in-process because XLA reads it at client creation (first backend
+use), which happens after this file runs.
 """
 
 import os
 
-# Force CPU even when the environment pins another platform (e.g. a TPU
-# plugin set via JAX_PLATFORMS): tests must run hermetically on the virtual
-# 8-device host mesh. NOTE: under the axon TPU tunnel, JAX_PLATFORMS=cpu is
-# NOT honoured (the plugin registers at interpreter start and every compile
-# round-trips the tunnel at ~30-60s each); the legacy JAX_PLATFORM_NAME is,
-# and gives local sub-second CPU compiles.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", (
+    f"tests must run on the virtual CPU mesh, got {jax.default_backend()!r}"
+)
+assert len(jax.devices()) == 8, jax.devices()
 
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache makes repeated test runs fast (first run pays).
