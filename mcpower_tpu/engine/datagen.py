@@ -122,24 +122,38 @@ def extra_grouping_ids(spec: SimSpec, g: int):
 
     Pure iota math shared by generation and the mixed-model fit (the two
     MUST agree or the fitted variance structure silently mismatches the
-    DGP). Crossed: round-robin over levels; nested: primary_id * n_per_parent
-    + local position within the cluster."""
+    DGP). Implements the reference's LEXICOGRAPHIC stride chain
+    (generation.rs:402-427 ``extra_level_of_row``): each atom block
+    enumerates every (primary, level_1, ..., level_G) combination exactly
+    once, so factors are balanced at atom multiples, assignment rules never
+    alias across groupings, and prefix-nesting holds.
+
+    FixedClusters: stride_g = S * prod(block_levels of earlier groupings);
+    within = (i / stride_g) % block_levels_g; crossed -> within, nested ->
+    (i % S) * n_per_parent + within. FixedSize (nested only):
+    (i / cs) * np + (i % cs) % np.
+    """
     c = spec.cluster
     eg = c.extra_groupings[g]
     rows = jnp.arange(spec.max_n, dtype=jnp.int32)
+    blk = max(eg.n_levels, 1)  # crossed: level count; nested: per-parent
+    if c.sizing_mode == "fixed_size":
+        if eg.relation == "crossed":
+            raise ValueError(
+                "crossed extra groupings require fixed_clusters sizing "
+                "(reference validate: Crossed x FixedSize is rejected)"
+            )
+        cs = max(c.sizing_value, 1)
+        n_lv = c.n_clusters_at(spec.max_n) * blk
+        return (rows // cs) * blk + (rows % cs) % blk, n_lv
+    s = max(c.sizing_value, 1)
+    stride = s
+    for h in c.extra_groupings[:g]:
+        stride *= max(h.n_levels, 1)
+    within = (rows // jnp.int32(stride)) % jnp.int32(blk)
     if eg.relation == "crossed":
-        n_lv = max(eg.n_levels, 1)
-        return rows % jnp.int32(n_lv), n_lv
-    npp = max(eg.n_levels, 1)
-    max_clusters = c.n_clusters_at(spec.max_n)
-    n_lv = max_clusters * npp
-    if c.sizing_mode == "fixed_clusters":
-        # round-robin primary: local position within cluster
-        local = rows // jnp.int32(max(c.sizing_value, 1))
-    else:
-        local = rows % jnp.int32(max(c.sizing_value, 1))
-    ids = _cluster_ids(spec)
-    return ids * jnp.int32(npp) + (local % jnp.int32(npp)), n_lv
+        return within, blk
+    return (rows % jnp.int32(s)) * jnp.int32(blk) + within, s * blk
 
 
 def _psd_repair_chol(sigma):

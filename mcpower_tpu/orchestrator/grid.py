@@ -10,7 +10,7 @@ points in log10(N), and every adjustment is surfaced as a warning string.
 
 from __future__ import annotations
 
-from math import gcd
+
 from typing import List, Optional, Sequence, Tuple
 
 from ..config import CONFIG
@@ -36,16 +36,18 @@ def cluster_atom(cluster) -> int:
 
     FixedClusters: one extra row per cluster => atom = n_clusters.
     FixedSize: whole clusters only => atom = cluster_size.
-    Crossed extra groupings multiply in (lcm) so each grid point is a
+    Extra groupings multiply their block size in so each grid point is a
     balanced design across all grouping factors.
     """
     if cluster is None:
         return 1
     a = max(int(cluster.sizing_value), 1)
+    # Every extra grouping multiplies its block size in (reference
+    # ClusterSpec::atom, generation.rs:291-295: plain product over
+    # block_levels — crossed level count, nested n_per_parent) so one atom
+    # block enumerates every grouping combination exactly once.
     for eg in cluster.extra_groupings:
-        if eg.relation == "crossed":
-            b = max(int(eg.n_levels), 1)
-            a = a * b // gcd(a, b)
+        a *= max(int(eg.n_levels), 1)
     return a
 
 

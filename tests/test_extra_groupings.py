@@ -83,7 +83,9 @@ def test_lmm_crossed_extra_grouping_parity():
         X, y, ids = _gen(spec, arrays, s)
         X, y, ids = X[:n], y[:n], ids[:n]
         Z1 = np.eye(m)[ids]  # (n, m) indicators
-        eg_ids = rows % n_lv  # crossed layout by definition
+        # lexicographic crossed layout (generation.rs:402-427): each atom
+        # block of m*n_lv rows enumerates every (cluster, level) pair once
+        eg_ids = (rows // m) % n_lv
         Z2 = np.eye(n_lv)[eg_ids]
         tau2_1, tau2_2, sigma2, beta, cov = _oracle_two_grouping_reml(
             X[:, :2], y, Z1, Z2
@@ -120,3 +122,47 @@ def test_lmm_nested_extra_grouping_runs_and_recovers():
     assert abs(tau2_mean - 0.4) < 0.12, tau2_mean
     power = counts["sig_unc"][0, 0] / counts["n_done"]
     assert 0.3 < power <= 1.0, power
+
+
+def test_lexicographic_layout_matches_reference_rule():
+    """extra_grouping_ids implements the reference's stride chain
+    (generation.rs:402-427) exactly: oracle below is transcribed from the
+    documented rule, not from engine code."""
+    spec, _ = lower.lower(
+        grid=[96],
+        var_types=["normal"],
+        effects=np.array([0.0, 0.3]),
+        target_cols=[1],
+        estimator="mle",
+        cluster=ClusterStatic(
+            sizing_mode="fixed_clusters", sizing_value=4, tau_squared=0.2,
+            extra_groupings=(
+                ExtraGroupingStatic(relation="crossed", n_levels=3,
+                                    tau_squared=0.1),
+                ExtraGroupingStatic(relation="nested", n_levels=2,
+                                    tau_squared=0.1),
+            ),
+        ),
+    )
+    s = 4
+    i = np.arange(96)
+    # grouping 0 (crossed, 3 levels): stride = S = 4
+    want0 = (i // 4) % 3
+    got0, n_lv0 = datagen.extra_grouping_ids(spec, 0)
+    assert n_lv0 == 3
+    np.testing.assert_array_equal(np.asarray(got0), want0)
+    # grouping 1 (nested, 2 per parent): stride = S * 3 = 12
+    want1 = (i % s) * 2 + (i // 12) % 2
+    got1, n_lv1 = datagen.extra_grouping_ids(spec, 1)
+    assert n_lv1 == 8
+    np.testing.assert_array_equal(np.asarray(got1), want1)
+
+    # atom = S * 3 * 2 = 24; within any atom block every (cluster, lvl0)
+    # pair appears exactly twice and every (cluster, lvl0, lvl1) once
+    from mcpower_tpu.orchestrator.grid import cluster_atom
+
+    assert cluster_atom(spec.cluster) == 24
+    ids = i % s
+    block = slice(0, 24)
+    combos = set(zip(ids[block], want0[block], want1[block]))
+    assert len(combos) == 24  # every combination exactly once
