@@ -37,9 +37,20 @@ from .mixedfit import BOUNDARY_LOG_GAMMA, LOG_GAMMA_HI, LOG_GAMMA_LO, _INV_PHI
 from .spec import SimSpec
 
 N_PIRLS = 12
-# 28 golden iterations bracket log-tau2 to ~1.4e-6 — far inside the 1e-3
-# variance-component tolerance; (beta, u) warm-carries keep PIRLS cheap.
-GOLDEN_ITERS_GLMM = 28
+# Two-phase golden budget. While the bracket is WIDE each evaluation jumps
+# log-tau2 by multiples, the carried (beta, u) is far from the new mode,
+# and an under-converged PIRLS can flip a deviance comparison — golden
+# section discards intervals irrevocably, so early decisions get the full
+# PIRLS budget. After GOLDEN_FULL iterations the bracket has shrunk to
+# 21 * phi^8 ~ 0.45 in log-tau2; the carried mode is then a genuine warm
+# start and N_PIRLS_WARM iterations re-converge it far below the
+# deviance-comparison noise floor. 26 total golden iterations bracket
+# log-tau2 to 21 * phi^26 ~ 8e-5 — inside the 1e-3 variance-component
+# tolerance band (tolerances.R:41-47). Cold bracketing evals, the boundary
+# probe, and the final fit keep the full budget.
+N_PIRLS_WARM = 5
+GOLDEN_FULL = 8
+GOLDEN_ITERS_GLMM = 26
 
 _LOG_2PI = 1.8378770664093453
 
@@ -352,43 +363,49 @@ def _intercept_glmm_grid_stats(
             )
             return -2.0 * jnp.sum(jnp.where(active, log_int, 0.0))
 
-        def dev_at(log_tau2, beta, u):
+        def dev_at(log_tau2, beta, u, iters=N_PIRLS_WARM):
             tau2 = jnp.exp(log_tau2)
-            beta2, u2, w2, W2, lap = pirls(tau2, beta, u, N_PIRLS)
+            beta2, u2, w2, W2, lap = pirls(tau2, beta, u, iters)
             if nagq > 1:
                 return agq_deviance(tau2, beta2, u2, w2, W2, mask), beta2, u2
             return lap, beta2, u2
 
-        # golden section with (beta, u) warm carry
+        # golden section with (beta, u) warm carry; cold bracketing evals
+        # get the full PIRLS budget, warm body evals the short one.
         a = jnp.float64(LOG_GAMMA_LO)
         b = jnp.float64(LOG_GAMMA_HI)
         x1 = b - _INV_PHI * (b - a)
         x2 = a + _INV_PHI * (b - a)
-        f1, beta_c, u_c = dev_at(x1, beta0, jnp.zeros(m, jnp.float64))
-        f2, beta_c, u_c = dev_at(x2, beta_c, u_c)
+        f1, beta_c, u_c = dev_at(x1, beta0, jnp.zeros(m, jnp.float64), N_PIRLS)
+        f2, beta_c, u_c = dev_at(x2, beta_c, u_c, N_PIRLS)
 
-        def body(_, carry):
-            a, b, x1, x2, f1, f2, beta_c, u_c = carry
-            keep_left = f1 < f2
-            a2 = jnp.where(keep_left, a, x1)
-            b2 = jnp.where(keep_left, x2, b)
-            x1n = b2 - _INV_PHI * (b2 - a2)
-            x2n = a2 + _INV_PHI * (b2 - a2)
-            x_eval = jnp.where(keep_left, x1n, x2n)
-            f_eval, beta_c, u_c = dev_at(x_eval, beta_c, u_c)
-            x1o = jnp.where(keep_left, x_eval, x2)
-            f1o = jnp.where(keep_left, f_eval, f2)
-            x2o = jnp.where(keep_left, x1, x_eval)
-            f2o = jnp.where(keep_left, f1, f_eval)
-            return a2, b2, x1o, x2o, f1o, f2o, beta_c, u_c
+        def make_body(iters):
+            def body(_, carry):
+                a, b, x1, x2, f1, f2, beta_c, u_c = carry
+                keep_left = f1 < f2
+                a2 = jnp.where(keep_left, a, x1)
+                b2 = jnp.where(keep_left, x2, b)
+                x1n = b2 - _INV_PHI * (b2 - a2)
+                x2n = a2 + _INV_PHI * (b2 - a2)
+                x_eval = jnp.where(keep_left, x1n, x2n)
+                f_eval, beta_c, u_c = dev_at(x_eval, beta_c, u_c, iters)
+                x1o = jnp.where(keep_left, x_eval, x2)
+                f1o = jnp.where(keep_left, f_eval, f2)
+                x2o = jnp.where(keep_left, x1, x_eval)
+                f2o = jnp.where(keep_left, f1, f_eval)
+                return a2, b2, x1o, x2o, f1o, f2o, beta_c, u_c
 
+            return body
+
+        carry = (a, b, x1, x2, f1, f2, beta_c, u_c)
+        carry = jax.lax.fori_loop(0, GOLDEN_FULL, make_body(N_PIRLS), carry)
         a, b, x1, x2, f1, f2, beta_c, u_c = jax.lax.fori_loop(
-            0, GOLDEN_ITERS_GLMM, body, (a, b, x1, x2, f1, f2, beta_c, u_c)
+            0, GOLDEN_ITERS_GLMM - GOLDEN_FULL, make_body(N_PIRLS_WARM), carry
         )
         log_tau2_hat = 0.5 * (a + b)
 
-        dev_int, beta_c, u_c = dev_at(log_tau2_hat, beta_c, u_c)
-        dev_zero, _, _ = dev_at(jnp.float64(LOG_GAMMA_LO), beta_c, u_c)
+        dev_int, beta_c, u_c = dev_at(log_tau2_hat, beta_c, u_c, N_PIRLS)
+        dev_zero, _, _ = dev_at(jnp.float64(LOG_GAMMA_LO), beta_c, u_c, N_PIRLS)
         boundary = (dev_zero <= dev_int + 1e-10) | (
             log_tau2_hat < BOUNDARY_LOG_GAMMA
         )

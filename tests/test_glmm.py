@@ -249,7 +249,14 @@ def test_glmm_slope_power_sane():
 def test_glmm_hessian_wald_se_parity():
     """wald_se='hessian': engine t^2 matches an independent FD-Hessian of
     the u-profiled Laplace deviance (cov = 2 H^-1) at the independent
-    optimum (VERDICT round-1 weak #2)."""
+    optimum (VERDICT round-1 weak #2).
+
+    CONVENTION: beta-hat is the PIRLS fixed point (score equations of the
+    penalized deviance — glmer's convention, mirrored by the glmm crate's
+    fit loop), NOT the minimizer of the full Laplace profile over beta:
+    the log-det term's beta-gradient makes those differ by several percent
+    at moderate tau^2, and lme4's use.hessian=TRUE evaluates the FD
+    covariance AT the PIRLS beta."""
     spec, arrays = lower.lower(
         grid=[300],
         var_types=["normal"],
@@ -268,7 +275,29 @@ def test_glmm_hessian_wald_se_parity():
     for s in range(2):
         X, y, ids = _gen(spec, arrays, s)
         Xr = X[:, :2].astype(np.float64)
-        b_ref, tau2_ref = _ref_glmm_laplace(Xr, y, ids, m, "binary")
+        _, tau2_ref = _ref_glmm_laplace(Xr, y, ids, m, "binary")
+
+        # independent penalized IRLS (per-cluster absorption) at tau2_ref
+        b_ref = np.zeros(2)
+        u_p = np.zeros(m)
+        for _ in range(200):
+            eta = Xr @ b_ref + u_p[ids]
+            mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+            w = mu * (1 - mu)
+            z = eta + (y - mu) / w
+            W_i = np.bincount(ids, weights=w, minlength=m)
+            s_i = np.stack(
+                [np.bincount(ids, weights=w * Xr[:, j], minlength=m)
+                 for j in range(2)], axis=1,
+            )
+            t_i = np.bincount(ids, weights=w * z, minlength=m)
+            c_i = 1.0 / (W_i + 1.0 / tau2_ref)
+            a_xx = (Xr * w[:, None]).T @ Xr - np.einsum(
+                "m,mp,mq->pq", c_i, s_i, s_i
+            )
+            a_xy = Xr.T @ (w * z) - np.einsum("m,mp,m->p", c_i, s_i, t_i)
+            b_ref = np.linalg.solve(a_xx, a_xy)
+            u_p = c_i * (t_i - s_i @ b_ref)
 
         def dev_beta(beta):
             u = np.zeros(m)
