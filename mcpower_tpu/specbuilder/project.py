@@ -254,7 +254,7 @@ def build_contracts(
                 f"groupings: {parsed_groups}, configured: {list(clusters)}"
             )
         cfg = clusters[primary_name]
-        tau2 = _tau_squared(cfg)
+        tau2 = _tau_squared(cfg, outcome_kind, link)
         slopes = _slope_terms(cfg, registry, col_of)
         if cfg.get("n_clusters"):
             sizing_mode, sizing_value = "fixed_clusters", int(cfg["n_clusters"])
@@ -285,7 +285,7 @@ def build_contracts(
                     GroupingSpec(
                         relation="nested",
                         n_clusters=int(npp),
-                        tau_squared=_tau_squared(gcfg),
+                        tau_squared=_tau_squared(gcfg, outcome_kind, link),
                         slopes=_slope_terms(gcfg, registry, col_of),
                     )
                 )
@@ -294,7 +294,7 @@ def build_contracts(
                     GroupingSpec(
                         relation="crossed",
                         n_clusters=int(gcfg.get("n_clusters") or 0),
-                        tau_squared=_tau_squared(gcfg),
+                        tau_squared=_tau_squared(gcfg, outcome_kind, link),
                         slopes=_slope_terms(gcfg, registry, col_of),
                     )
                 )
@@ -406,7 +406,20 @@ def build_contracts(
     return out
 
 
-def _tau_squared(cfg: Dict[str, Any]) -> float:
+def _tau_squared(
+    cfg: Dict[str, Any], outcome_kind: str = "continuous",
+    link: Optional[str] = None,
+) -> float:
+    """Family/link-aware ICC -> tau^2 (reference ports/py model.py
+    ``_encode``' Decision 8/9 block, mirrored by R spec-builder.R
+    .encode_outcome_and_clusters):
+
+    - explicit tau_squared wins (Poisson REQUIRES it — no latent ICC scale
+      exists for a log-link count model);
+    - binary logit: ``icc/(1-icc) * pi^2/3`` (log-odds residual variance);
+    - binary probit: ``icc/(1-icc) * 1`` (latent residual variance is 1);
+    - gaussian: ``icc/(1-icc)`` (standardized sigma^2 = 1).
+    """
     if cfg.get("tau_squared") is not None:
         return float(cfg["tau_squared"])
     icc = float(cfg.get("icc", 0.0) or 0.0)
@@ -414,7 +427,15 @@ def _tau_squared(cfg: Dict[str, Any]) -> float:
         return 0.0
     if icc >= 1.0:
         raise ValueError("ICC must be < 1")
-    return icc / (1.0 - icc)
+    if outcome_kind == "count":
+        raise ValueError(
+            "count-outcome clusters are sized by tau_squared=, not ICC"
+        )
+    if outcome_kind == "binary" and link != "probit":
+        scale = math.pi * math.pi / 3.0  # logit latent residual variance
+    else:
+        scale = 1.0
+    return icc / (1.0 - icc) * scale
 
 
 def _slope_terms(cfg, registry, col_of) -> List[SlopeTerm]:
