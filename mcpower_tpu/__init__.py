@@ -24,7 +24,7 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
-__all__ = ["MCPower", "__version__"]
+__all__ = ["MCPower", "mtcars", "__version__"]
 
 
 def __getattr__(name):
@@ -35,4 +35,8 @@ def __getattr__(name):
         from .model import MCPower
 
         return MCPower
+    if name == "mtcars":
+        from .datasets import mtcars
+
+        return mtcars
     raise AttributeError(name)
