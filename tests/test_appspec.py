@@ -184,7 +184,8 @@ def test_mixed_binary_outcome_uses_logit_latent_scale():
                           wald_se="rx", nagq=1)
     want = 0.2 / 0.8 * math.pi * math.pi / 3.0
     assert ps[0].contract.generation.cluster.tau_squared == pytest.approx(want)
-    # log-odds intercept from the baseline probability
+    # log-odds intercept from the baseline probability (set at apply time)
+    a.model._ensure_applied()
     assert a.model.intercept == pytest.approx(math.log(0.3 / 0.7))
 
 

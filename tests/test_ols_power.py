@@ -18,7 +18,10 @@ def analytic_ols_power(beta, n, alpha=0.05, p_fit=2, sd_x=1.0):
     df = n - p_fit
     ncp = beta * sd_x * np.sqrt(n)
     tcrit = stats.t.ppf(1 - alpha / 2, df)
-    return 1 - stats.nct.cdf(tcrit, df, ncp) + stats.nct.cdf(-tcrit, df, ncp)
+    # scipy's nct.cdf underflows to NaN in the far-left tail at large ncp;
+    # the term is <= 1e-20 there, so zero is the correct limit.
+    left = np.nan_to_num(stats.nct.cdf(-tcrit, df, ncp))
+    return 1 - stats.nct.cdf(tcrit, df, ncp) + left
 
 
 def test_single_continuous_predictor_power():
@@ -184,7 +187,9 @@ def test_power_accuracy_at_5_sigma_alpha():
                          stats.chi2.ppf(1 - 1e-10, N - 1), 4001)
     w = stats.chi2.pdf(s_grid, N - 1)
     ncp = beta_true * np.sqrt(s_grid)
-    tail = 1 - stats.nct.cdf(tcrit, df, ncp) + stats.nct.cdf(-tcrit, df, ncp)
+    # left-tail nct.cdf underflows to NaN at large ncp (term <= 1e-20 -> 0)
+    tail = (1 - stats.nct.cdf(tcrit, df, ncp)
+            + np.nan_to_num(stats.nct.cdf(-tcrit, df, ncp)))
     oracle = np.trapezoid(w * tail, s_grid) / np.trapezoid(w, s_grid)
     assert 0.2 < oracle < 0.95, oracle  # test sits in the informative band
     assert abs(p_hat - oracle) < 0.01, (p_hat, oracle)
