@@ -34,6 +34,11 @@ def _timed(spec, arrays, n_sims, min_converged=0.9):
 def main():
     import jax
 
+    # Persistent jit cache: warm re-runs skip unchanged-program compiles
+    # (the warmup batch isolates compile time from the timings either way).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcpower_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
     from mcpower_tpu.engine import lower
     from mcpower_tpu.engine.spec import ClusterStatic
 
@@ -74,6 +79,20 @@ def main():
     )
     glm_s = _timed(spec_glm, jax.device_put(arr_glm), n_sims)
 
+    # Power-curve arm (BASELINE acceptance #2): 5 correlated predictors +
+    # interaction over an 8-point CRN grid — one batch evaluates all N
+    # from a single draw budget (prefix suff-stats).
+    corr5 = np.full((5, 5), 0.2) + 0.8 * np.eye(5)
+    spec_curve, arr_curve = lower.lower(
+        grid=[50, 100, 150, 200, 250, 300, 400, 500],
+        var_types=["normal"] * 5,
+        corr=corr5,
+        effects=np.array([0.0, 0.25, 0.2, 0.15, 0.1, 0.1, 0.1]),
+        target_cols=[1, 2, 3, 4, 5, 6],
+        interactions=[(1, 2)],
+    )
+    curve_s = _timed(spec_curve, jax.device_put(arr_curve), n_sims)
+
     print(
         json.dumps(
             {
@@ -84,6 +103,7 @@ def main():
                 "extra": {
                     "ols_10k_s": round(ols_s, 4),
                     "glm_bonferroni_10k_s": round(glm_s, 4),
+                    "curve_5pred_8grid_10k_s": round(curve_s, 4),
                 },
             }
         )

@@ -90,6 +90,10 @@ def _cases():
 def run():
     import jax
 
+    # Persistent jit cache: re-timing unchanged arms skips their compiles.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcpower_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
     from mcpower_tpu.engine import batch, lower
 
     results = {}
