@@ -162,75 +162,103 @@ def _slope_glmm_grid_stats(
     def per_grid(n):
         mask = (rows < n).astype(jnp.float64)
 
-        def pirls(Lam, beta, v, iters):
-            def body(_, carry):
-                beta, v = carry
-                u = v @ Lam.T  # (m, q)
+        def make_pirls(dtype):
+            """q-dim PIRLS at the given state precision. As in the
+            intercept path, the f32 twin serves the theta SEARCH only —
+            iteration state runs in f32 (f64 transcendentals are emulated
+            on TPU and dominate), while the returned Laplace deviance and
+            Schur block are recomputed in f64 from the final mode."""
+            Xd = Xf.astype(dtype)
+            yd = yf.astype(dtype)
+            Zd = Zf.astype(dtype)
+            md = mask.astype(dtype)
+            ohd = one_hot.astype(dtype)
+            eye_pd = (1e-10 if dtype == jnp.float64 else 1e-6) * jnp.eye(
+                pf, dtype=dtype
+            )
+            eye_qd = jnp.eye(q, dtype=dtype)
+
+            def pirls(Lam, beta, v, iters):
+                Ld = Lam.astype(dtype)
+
+                def body(_, carry):
+                    beta, v = carry
+                    u = v @ Ld.T  # (m, q)
+                    eta = Xd @ beta + jnp.einsum("nq,nq->n", Zd, u[ids])
+                    mu, var, dmu = mu_var_dmu(eta)
+                    w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * md
+                    z = eta + (yd - mu) / dmu
+                    wZ = Zd * w[:, None]
+                    G = jnp.einsum("nm,nq,nr->mqr", ohd, wZ, Zd)
+                    A = jnp.einsum("nm,nq,np->mqp", ohd, wZ, Xd)
+                    b = jnp.einsum("nm,nq->mq", ohd, wZ * z[:, None])
+                    C = eye_qd[None] + jnp.einsum(
+                        "ji,mjk,kl->mil", Ld, G, Ld
+                    )
+                    cholC = smallchol.chol(C)
+                    At = jnp.einsum("ji,mjp->mip", Ld, A)
+                    bt = jnp.einsum("ji,mj->mi", Ld, b)
+                    sol_b = smallchol.cho_solve(cholC, bt)  # (m, q)
+                    sol_A = jax.vmap(
+                        lambda ch, aa: jax.vmap(
+                            lambda col: smallchol.cho_solve(ch, col)
+                        )(aa.T).T
+                    )(cholC, At)  # (m, q, p)
+                    xtwx = jnp.einsum("n,np,nq->pq", w, Xd, Xd)
+                    a_xx = xtwx - jnp.einsum("miq,mip->qp", At, sol_A) + eye_pd
+                    a_xy = Xd.T @ (w * z) - jnp.einsum("miq,mi->q", At, sol_b)
+                    cholP = smallchol.chol(a_xx)
+                    beta_new = smallchol.cho_solve(cholP, a_xy)
+                    v_new = sol_b - jnp.einsum("mip,p->mi", sol_A, beta_new)
+                    ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
+                        jnp.isfinite(v_new)
+                    )
+                    return (
+                        jnp.where(ok, beta_new, beta),
+                        jnp.where(ok, v_new, v),
+                    )
+
+                beta, v = jax.lax.fori_loop(0, iters, body, (beta, v))
+
+                # Mode-state quantities in f64 (weights/logdet/Schur).
+                beta = beta.astype(jnp.float64)
+                v = v.astype(jnp.float64)
+                u = v @ Lam.T
                 eta = Xf @ beta + jnp.einsum("nq,nq->n", Zf, u[ids])
                 mu, var, dmu = mu_var_dmu(eta)
                 w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-                z = eta + (yf - mu) / dmu
                 wZ = Zf * w[:, None]
                 G = jnp.einsum("nm,nq,nr->mqr", one_hot, wZ, Zf)
                 A = jnp.einsum("nm,nq,np->mqp", one_hot, wZ, Xf)
-                b = jnp.einsum("nm,nq->mq", one_hot, wZ * z[:, None])
                 C = eye_q[None] + jnp.einsum("ji,mjk,kl->mil", Lam, G, Lam)
                 cholC = smallchol.chol(C)
                 At = jnp.einsum("ji,mjp->mip", Lam, A)
-                bt = jnp.einsum("ji,mj->mi", Lam, b)
-                sol_b = smallchol.cho_solve(cholC, bt)  # (m, q)
                 sol_A = jax.vmap(
                     lambda ch, aa: jax.vmap(
                         lambda col: smallchol.cho_solve(ch, col)
                     )(aa.T).T
-                )(cholC, At)  # (m, q, p)
+                )(cholC, At)
                 xtwx = jnp.einsum("n,np,nq->pq", w, Xf, Xf)
                 a_xx = xtwx - jnp.einsum("miq,mip->qp", At, sol_A) + eye_p
-                a_xy = Xf.T @ (w * z) - jnp.einsum("miq,mi->q", At, sol_b)
-                cholP = smallchol.chol(a_xx)
-                beta_new = smallchol.cho_solve(cholP, a_xy)
-                v_new = sol_b - jnp.einsum("mip,p->mi", sol_A, beta_new)
-                ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
-                    jnp.isfinite(v_new)
+                dev_cond = _deviance(spec.outcome, yf, mu, mask)
+                laplace = (
+                    dev_cond
+                    + jnp.sum(v * v)
+                    + jnp.sum(smallchol.logdet_from_chol(cholC))
                 )
-                return (
-                    jnp.where(ok, beta_new, beta),
-                    jnp.where(ok, v_new, v),
-                )
+                return beta, v, laplace, a_xx
 
-            beta, v = jax.lax.fori_loop(0, iters, body, (beta, v))
+            return pirls
 
-            # Mode-state quantities (weights/logdet/Schur at the final mode).
-            u = v @ Lam.T
-            eta = Xf @ beta + jnp.einsum("nq,nq->n", Zf, u[ids])
-            mu, var, dmu = mu_var_dmu(eta)
-            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-            wZ = Zf * w[:, None]
-            G = jnp.einsum("nm,nq,nr->mqr", one_hot, wZ, Zf)
-            A = jnp.einsum("nm,nq,np->mqp", one_hot, wZ, Xf)
-            C = eye_q[None] + jnp.einsum("ji,mjk,kl->mil", Lam, G, Lam)
-            cholC = smallchol.chol(C)
-            At = jnp.einsum("ji,mjp->mip", Lam, A)
-            sol_A = jax.vmap(
-                lambda ch, aa: jax.vmap(lambda col: smallchol.cho_solve(ch, col))(
-                    aa.T
-                ).T
-            )(cholC, At)
-            xtwx = jnp.einsum("n,np,nq->pq", w, Xf, Xf)
-            a_xx = xtwx - jnp.einsum("miq,mip->qp", At, sol_A) + eye_p
-            dev_cond = _deviance(spec.outcome, yf, mu, mask)
-            laplace = (
-                dev_cond
-                + jnp.sum(v * v)
-                + jnp.sum(smallchol.logdet_from_chol(cholC))
-            )
-            return beta, v, laplace, a_xx
-
+        pirls = make_pirls(jnp.float64)
+        pirls32 = make_pirls(jnp.float32)
         v0 = jnp.zeros((m, q), jnp.float64)
+        v0_32 = jnp.zeros((m, q), jnp.float32)
+        beta0_32 = beta0.astype(jnp.float32)
 
         def dev_at(theta):
             Lam = _vech_to_lower(theta, q)
-            _, _, lap, _ = pirls(Lam, beta0, v0, N_PIRLS_SLOPE)
+            _, _, lap, _ = pirls32(Lam, beta0_32, v0_32, N_PIRLS_SLOPE)
             return jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30))
 
         theta_hat, _ = optim.nelder_mead(
@@ -292,45 +320,75 @@ def _intercept_glmm_grid_stats(
         n_per = jnp.sum(oh, axis=0)  # rows per cluster at this N
         active = n_per > 0
 
-        def pirls(tau2, beta, u, iters):
-            inv_tau2 = 1.0 / jnp.maximum(tau2, 1e-12)
+        def make_pirls(dtype):
+            """PIRLS inner solver at the given state precision.
 
-            def body(_, carry):
-                beta, u = carry
-                eta = Xf @ beta + u[ids]
+            f64 is the fit/SE path. The f32 twin serves the variance
+            SEARCH only: TPU f64 is double-double emulation and the
+            recurring exp/log over the (sims x rows) plane dominates the
+            GLMM arm (see ARCHITECTURE.md "Performance notes"), so search
+            evaluations run their state math in f32. The returned Laplace
+            deviance is always computed in f64 FROM the final mode (one
+            f64 elementwise pass per evaluation — 1/iters of the chain),
+            so deviance comparisons resolve differences ~1e-5, far below
+            the 1e-3 variance-component tolerance band."""
+            Xd = Xf.astype(dtype)
+            yd = yf.astype(dtype)
+            md = mask.astype(dtype)
+            ohd = oh.astype(dtype)
+            ridge = (1e-10 if dtype == jnp.float64 else 1e-6)
+            eyed = ridge * jnp.eye(pf, dtype=dtype)
+
+            def pirls(tau2, beta, u, iters):
+                inv_tau2 = 1.0 / jnp.maximum(tau2, 1e-12)
+                inv_tau2_d = jnp.asarray(inv_tau2, dtype)
+
+                def body(_, carry):
+                    beta, u = carry
+                    eta = Xd @ beta + u[ids]
+                    mu, var, dmu = mu_var_dmu(eta)
+                    w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * md
+                    z = eta + (yd - mu) / dmu  # full working response
+                    W_i = ohd.T @ w  # (m,)
+                    s_i = ohd.T @ (w[:, None] * Xd)  # (m, p)
+                    t_i = ohd.T @ (w * z)  # (m,)
+                    c_i = jnp.where(active, 1.0 / (W_i + inv_tau2_d), 0.0)
+                    a_xx = (Xd * w[:, None]).T @ Xd - jnp.einsum(
+                        "m,mp,mq->pq", c_i, s_i, s_i
+                    ) + eyed
+                    a_xy = Xd.T @ (w * z) - jnp.einsum(
+                        "m,mp,m->p", c_i, s_i, t_i
+                    )
+                    chol = smallchol.chol(a_xx)
+                    beta_new = smallchol.cho_solve(chol, a_xy)
+                    u_new = c_i * (t_i - s_i @ beta_new)
+                    ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
+                        jnp.isfinite(u_new)
+                    )
+                    return (
+                        jnp.where(ok, beta_new, beta),
+                        jnp.where(ok, u_new, u),
+                    )
+
+                beta, u = jax.lax.fori_loop(0, iters, body, (beta, u))
+                # final state quantities at the mode — deviance in f64
+                u64 = u.astype(jnp.float64)
+                eta = Xf @ beta.astype(jnp.float64) + u64[ids]
                 mu, var, dmu = mu_var_dmu(eta)
                 w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-                z = eta + (yf - mu) / dmu  # full working response (incl. u)
-                W_i = oh.T @ w  # (m,)
-                s_i = oh.T @ (w[:, None] * Xf)  # (m, p)
-                t_i = oh.T @ (w * z)  # (m,)
-                c_i = jnp.where(active, 1.0 / (W_i + inv_tau2), 0.0)
-                a_xx = (Xf * w[:, None]).T @ Xf - jnp.einsum(
-                    "m,mp,mq->pq", c_i, s_i, s_i
-                ) + eye
-                a_xy = Xf.T @ (w * z) - jnp.einsum("m,mp,m->p", c_i, s_i, t_i)
-                chol = smallchol.chol(a_xx)
-                beta_new = smallchol.cho_solve(chol, a_xy)
-                u_new = c_i * (t_i - s_i @ beta_new)
-                ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(jnp.isfinite(u_new))
-                return (
-                    jnp.where(ok, beta_new, beta),
-                    jnp.where(ok, u_new, u),
+                W_i = oh.T @ w
+                dev_cond = _deviance(spec.outcome, yf, mu, mask)
+                laplace = (
+                    dev_cond
+                    + jnp.sum(jnp.where(active, u64 * u64, 0.0)) * inv_tau2
+                    + jnp.sum(jnp.where(active, jnp.log1p(tau2 * W_i), 0.0))
                 )
+                return beta, u, w, W_i, laplace
 
-            beta, u = jax.lax.fori_loop(0, iters, body, (beta, u))
-            # final state quantities at the mode
-            eta = Xf @ beta + u[ids]
-            mu, var, dmu = mu_var_dmu(eta)
-            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-            W_i = oh.T @ w
-            dev_cond = _deviance(spec.outcome, yf, mu, mask)
-            laplace = (
-                dev_cond
-                + jnp.sum(jnp.where(active, u * u, 0.0)) * inv_tau2
-                + jnp.sum(jnp.where(active, jnp.log1p(tau2 * W_i), 0.0))
-            )
-            return beta, u, w, W_i, laplace
+            return pirls
+
+        pirls = make_pirls(jnp.float64)
+        pirls32 = make_pirls(jnp.float32)
 
         # Adaptive Gauss-Hermite nodes (physicists' convention, weight
         # e^{-x^2}); nagq == 1 degenerates to the Laplace objective.
@@ -370,14 +428,27 @@ def _intercept_glmm_grid_stats(
                 return agq_deviance(tau2, beta2, u2, w2, W2, mask), beta2, u2
             return lap, beta2, u2
 
-        # golden section with (beta, u) warm carry; cold bracketing evals
-        # get the full PIRLS budget, warm body evals the short one.
+        def dev_at32(log_tau2, beta, u, iters):
+            """Search-phase evaluator: f32 PIRLS state, f64 deviance."""
+            tau2 = jnp.exp(log_tau2)
+            beta2, u2, _, _, lap = pirls32(tau2, beta, u, iters)
+            return lap, beta2, u2
+
+        # Golden section with (beta, u) warm carry. Cold bracketing evals
+        # get the full PIRLS budget in f64; the search body runs at f32
+        # state precision for the Laplace objective (the AGQ objective
+        # stays f64 — its logsumexp is its own elementwise pass).
+        search_f32 = nagq == 1
+        search_eval = dev_at32 if search_f32 else dev_at
         a = jnp.float64(LOG_GAMMA_LO)
         b = jnp.float64(LOG_GAMMA_HI)
         x1 = b - _INV_PHI * (b - a)
         x2 = a + _INV_PHI * (b - a)
         f1, beta_c, u_c = dev_at(x1, beta0, jnp.zeros(m, jnp.float64), N_PIRLS)
         f2, beta_c, u_c = dev_at(x2, beta_c, u_c, N_PIRLS)
+        if search_f32:
+            beta_c = beta_c.astype(jnp.float32)
+            u_c = u_c.astype(jnp.float32)
 
         def make_body(iters):
             def body(_, carry):
@@ -388,7 +459,7 @@ def _intercept_glmm_grid_stats(
                 x1n = b2 - _INV_PHI * (b2 - a2)
                 x2n = a2 + _INV_PHI * (b2 - a2)
                 x_eval = jnp.where(keep_left, x1n, x2n)
-                f_eval, beta_c, u_c = dev_at(x_eval, beta_c, u_c, iters)
+                f_eval, beta_c, u_c = search_eval(x_eval, beta_c, u_c, iters)
                 x1o = jnp.where(keep_left, x_eval, x2)
                 f1o = jnp.where(keep_left, f_eval, f2)
                 x2o = jnp.where(keep_left, x1, x_eval)
@@ -403,6 +474,9 @@ def _intercept_glmm_grid_stats(
             0, GOLDEN_ITERS_GLMM - GOLDEN_FULL, make_body(N_PIRLS_WARM), carry
         )
         log_tau2_hat = 0.5 * (a + b)
+        if search_f32:
+            beta_c = beta_c.astype(jnp.float64)
+            u_c = u_c.astype(jnp.float64)
 
         dev_int, beta_c, u_c = dev_at(log_tau2_hat, beta_c, u_c, N_PIRLS)
         dev_zero, _, _ = dev_at(jnp.float64(LOG_GAMMA_LO), beta_c, u_c, N_PIRLS)
