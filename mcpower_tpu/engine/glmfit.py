@@ -30,8 +30,13 @@ from .datagen import factor_min_counts as datagen_factor_min_counts
 from .spec import SimSpec
 
 N_IRLS_ITERS = 30
+# f64 polish steps after the f32 phase: Newton is quadratic, so f32's
+# ~1e-6 residual reaches CONV_TOL in 1-2 steps; 4 leaves margin for cells
+# whose f32 phase stalled at its noise floor short of true convergence.
+N_IRLS_POLISH = 4
 BETA_CAP = 30.0
 CONV_TOL = 1e-8
+CONV_TOL_F32 = 1e-5
 MU_EPS = 1e-10
 
 
@@ -74,45 +79,73 @@ def _deviance(outcome: str, y, mu, mask):
 
 
 def _irls(outcome, link, Xf, yf, mask, beta0, pin=None):
-    """Fixed-iteration IRLS for one (sim, grid) cell.
+    """Two-phase mixed-precision IRLS for one (sim, grid) cell.
 
     Xf (n, P) f64, yf (n,), mask (n,) {0,1}, beta0 (P,). ``pin`` (P,) of
     0/1 pins excluded columns: Xf must already have them zeroed; the unit
     diagonal keeps the solve well-posed with beta exactly 0 there (the
-    masked-refit idiom for the reference's reduced/reshaped fits). Returns
+    masked-refit idiom for the reference's reduced/reshaped fits).
+
+    Phase 1 runs the bulk of the iterations with f32 state (TPU f64 is
+    emulated and the per-iteration exp/sigmoid over the rows dominates
+    the GLM arm — ARCHITECTURE.md "Performance notes"); phase 2 polishes
+    with a few f64 Newton steps (quadratic convergence: f32's ~1e-6
+    residual reaches the 1e-8 tolerance in one or two steps), so the
+    returned beta/cov/deviance carry full f64 accuracy and the converged
+    flag keeps its strict f64 meaning. Returns
     (beta, cov, converged, deviance).
     """
     pf = Xf.shape[1]
     mu_var_dmu = _link_funcs(outcome, link)
-    ridge = 1e-10 * jnp.eye(pf, dtype=jnp.float64)
+    ridge64 = 1e-10 * jnp.eye(pf, dtype=jnp.float64)
     if pin is not None:
-        ridge = ridge + jnp.diag(pin)
+        ridge64 = ridge64 + jnp.diag(pin)
+    ridge32 = ridge64.astype(jnp.float32) + 1e-6 * jnp.eye(
+        pf, dtype=jnp.float32
+    )
+    Xf32 = Xf.astype(jnp.float32)
+    yf32 = yf.astype(jnp.float32)
+    mask32 = mask.astype(jnp.float32)
 
-    def body(_, carry):
-        beta, done = carry
-        eta = Xf @ beta
-        mu, var, dmu = mu_var_dmu(eta)
-        w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-        z = eta + (yf - mu) / dmu
-        xw = Xf * w[:, None]
-        xtwx = xw.T @ Xf + ridge
-        xtwz = xw.T @ z
-        chol = smallchol.chol(xtwx)
-        beta_new = smallchol.cho_solve(chol, xtwz)
-        beta_new = jnp.clip(beta_new, -BETA_CAP, BETA_CAP)
-        ok = jnp.all(jnp.isfinite(beta_new))
-        step = jnp.max(jnp.abs(beta_new - beta))
-        done_new = done | (step < CONV_TOL)
-        beta_out = jnp.where(done | ~ok, beta, beta_new)
-        return beta_out, done_new
+    def make_body(Xd, yd, md, ridge, tol):
+        def body(_, carry):
+            beta, done = carry
+            eta = Xd @ beta
+            mu, var, dmu = mu_var_dmu(eta)
+            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * md
+            z = eta + (yd - mu) / dmu
+            xw = Xd * w[:, None]
+            xtwx = xw.T @ Xd + ridge
+            xtwz = xw.T @ z
+            chol = smallchol.chol(xtwx)
+            beta_new = smallchol.cho_solve(chol, xtwz)
+            beta_new = jnp.clip(beta_new, -BETA_CAP, BETA_CAP)
+            ok = jnp.all(jnp.isfinite(beta_new))
+            step = jnp.max(jnp.abs(beta_new - beta))
+            done_new = done | (step < tol)
+            beta_out = jnp.where(done | ~ok, beta, beta_new)
+            return beta_out, done_new
 
-    beta, done = jax.lax.fori_loop(0, N_IRLS_ITERS, body, (beta0, jnp.bool_(False)))
+        return body
+
+    beta32, _ = jax.lax.fori_loop(
+        0,
+        N_IRLS_ITERS,
+        make_body(Xf32, yf32, mask32, ridge32, CONV_TOL_F32),
+        (beta0.astype(jnp.float32), jnp.bool_(False)),
+    )
+    beta, done = jax.lax.fori_loop(
+        0,
+        N_IRLS_POLISH,
+        make_body(Xf, yf, mask, ridge64, CONV_TOL),
+        (beta32.astype(jnp.float64), jnp.bool_(False)),
+    )
 
     eta = Xf @ beta
     mu, var, dmu = mu_var_dmu(eta)
     w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
     xw = Xf * w[:, None]
-    xtwx = xw.T @ Xf + ridge
+    xtwx = xw.T @ Xf + ridge64
     chol = smallchol.chol(xtwx)
     cov = smallchol.cho_inverse(chol)
     dev = _deviance(outcome, yf, mu, mask)

@@ -47,7 +47,12 @@ from .spec import SimSpec
 # log-gamma golden-section search window and iteration budget.
 LOG_GAMMA_LO = -14.0  # gamma ~ 8e-7: effectively singular
 LOG_GAMMA_HI = 7.0  # gamma ~ 1100: ICC 0.999
-GOLDEN_ITERS = 60
+# 36 iterations bracket log-gamma to 21*phi^36 ~ 6e-8 — gamma_hat relative
+# error ~3e-8, far inside the t^2 rtol 1e-6 parity gate (the tightest
+# consumer; tau^2 gates are 1e-3). The previous 60 left the bracket at
+# ~3e-13, paying 24 extra sequential deviance evaluations for precision
+# nothing observes.
+GOLDEN_ITERS = 36
 BOUNDARY_LOG_GAMMA = -12.0  # below this, report a boundary (singular) fit
 _INV_PHI = 0.6180339887498949
 
