@@ -867,6 +867,38 @@ class MCPower:
         return sample_size_plot_set(res if "scenarios" not in res else
                                     next(iter(res["scenarios"].values())))
 
+    def to_simulation_spec(
+        self,
+        scenario_name: str = "optimistic",
+        *,
+        test_formula: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """The contract dict for one scenario — the exact L1 wire payload.
+
+        Parity with the reference port's ``to_simulation_spec``
+        (ports/py/mcpower/model.py:1621): returns the label-free
+        ``SimulationContract`` the engine would receive for
+        ``scenario_name``, fully serializable (``contract.wire`` turns the
+        same dict into msgpack for the CLI host).
+        """
+        self._ensure_applied()
+        if not self._effects:
+            raise RuntimeError(
+                "no effect sizes configured; call set_effects() before "
+                "to_simulation_spec()"
+            )
+        if scenario_name not in self._scenario_configs:
+            raise ValueError(
+                f"unknown scenario {scenario_name!r}; configured: "
+                f"{sorted(self._scenario_configs)}"
+            )
+        wald_se_r, nagq = self._resolve_estimation(None, None)
+        projected = self._project(
+            [scenario_name], target_test=None, correction=None,
+            wald_se=wald_se_r, nagq=nagq, test_formula=test_formula,
+        )
+        return projected[0].contract.to_dict()
+
     def summary(self) -> Dict[str, Any]:
         self._ensure_applied()
         return {

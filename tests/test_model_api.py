@@ -239,3 +239,23 @@ def test_result_wrapper_objects():
     assert isinstance(res3, PowerResult)
     assert set(res3.scenarios) >= {"optimistic", "realistic", "doomer"}
     assert "<table" in res3._repr_html_()
+
+
+def test_to_simulation_spec_round_trips():
+    """to_simulation_spec returns the L1 contract dict (reference
+    model.py:1621): serializable, scenario-stamped, effects required."""
+    import json
+
+    from mcpower_tpu.contract.types import SimulationContract
+
+    m = MCPower("y ~ x1 + x2")
+    with pytest.raises(RuntimeError, match="set_effects"):
+        m.to_simulation_spec()
+    m.set_effects("x1=0.3, x2=0.2")
+    d = m.to_simulation_spec("optimistic")
+    json.dumps(d)  # wire-serializable
+    c = SimulationContract.from_dict(d)
+    assert c.scenario.label == "optimistic"
+    assert len(c.outcome.coefficients) == 3  # const + x1 + x2
+    with pytest.raises(ValueError, match="unknown scenario"):
+        m.to_simulation_spec("nope")
