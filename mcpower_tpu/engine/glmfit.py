@@ -110,13 +110,12 @@ def _irls(outcome, link, Xf, yf, mask, beta0, pin=None):
     def make_body(Xd, yd, md, ridge, tol):
         def body(_, carry):
             beta, done = carry
-            eta = Xd @ beta
+            eta = smallchol.rowmv(Xd, beta)
             mu, var, dmu = mu_var_dmu(eta)
             w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * md
             z = eta + (yd - mu) / dmu
-            xw = Xd * w[:, None]
-            xtwx = xw.T @ Xd + ridge
-            xtwz = xw.T @ z
+            xtwx = smallchol.crossprod(Xd, w) + ridge
+            xtwz = smallchol.colsum(Xd, w * z)
             chol = smallchol.chol(xtwx)
             beta_new = smallchol.cho_solve(chol, xtwz)
             beta_new = jnp.clip(beta_new, -BETA_CAP, BETA_CAP)

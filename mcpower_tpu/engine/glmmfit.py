@@ -127,10 +127,24 @@ def _slope_glmm_grid_stats(
         axis=1,
     )
     rows = jnp.arange(spec.max_n)
-    one_hot = jax.nn.one_hot(ids, m, dtype=jnp.float64)
     mu_var_dmu = _link_funcs(spec.outcome, spec.link)
     eye_p = 1e-10 * jnp.eye(pf, dtype=jnp.float64)
     eye_q = jnp.eye(q, dtype=jnp.float64)
+
+    from . import clusterops
+
+    # Row-first segment sums / broadcasts over the static cluster layout
+    # (reshape reductions instead of one-hot matmuls — engine.clusterops).
+    def seg_rows(x):  # (n, ...) -> (m, ...)
+        return jnp.moveaxis(
+            clusterops.seg_sum(spec, jnp.moveaxis(x, 0, -1)), -1, 0
+        )
+
+    def rows_of(v):  # (m, ...) -> (n, ...)
+        return jnp.moveaxis(
+            clusterops.per_row(spec, jnp.moveaxis(v, 0, -1), spec.max_n),
+            -1, 0,
+        )
 
     if spec.scenario.truth_start:
         beta0 = arr["effects"].astype(jnp.float64)[jnp.asarray(fit_cols)]
@@ -172,7 +186,6 @@ def _slope_glmm_grid_stats(
             yd = yf.astype(dtype)
             Zd = Zf.astype(dtype)
             md = mask.astype(dtype)
-            ohd = one_hot.astype(dtype)
             eye_pd = (1e-10 if dtype == jnp.float64 else 1e-6) * jnp.eye(
                 pf, dtype=dtype
             )
@@ -184,14 +197,16 @@ def _slope_glmm_grid_stats(
                 def body(_, carry):
                     beta, v = carry
                     u = v @ Ld.T  # (m, q)
-                    eta = Xd @ beta + jnp.einsum("nq,nq->n", Zd, u[ids])
+                    eta = Xd @ beta + jnp.einsum(
+                        "nq,nq->n", Zd, rows_of(u)
+                    )
                     mu, var, dmu = mu_var_dmu(eta)
                     w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * md
                     z = eta + (yd - mu) / dmu
                     wZ = Zd * w[:, None]
-                    G = jnp.einsum("nm,nq,nr->mqr", ohd, wZ, Zd)
-                    A = jnp.einsum("nm,nq,np->mqp", ohd, wZ, Xd)
-                    b = jnp.einsum("nm,nq->mq", ohd, wZ * z[:, None])
+                    G = seg_rows(wZ[:, :, None] * Zd[:, None, :])  # (m,q,r)
+                    A = seg_rows(wZ[:, :, None] * Xd[:, None, :])  # (m,q,p)
+                    b = seg_rows(wZ * z[:, None])  # (m, q)
                     C = eye_qd[None] + jnp.einsum(
                         "ji,mjk,kl->mil", Ld, G, Ld
                     )
@@ -224,12 +239,12 @@ def _slope_glmm_grid_stats(
                 beta = beta.astype(jnp.float64)
                 v = v.astype(jnp.float64)
                 u = v @ Lam.T
-                eta = Xf @ beta + jnp.einsum("nq,nq->n", Zf, u[ids])
+                eta = Xf @ beta + jnp.einsum("nq,nq->n", Zf, rows_of(u))
                 mu, var, dmu = mu_var_dmu(eta)
                 w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
                 wZ = Zf * w[:, None]
-                G = jnp.einsum("nm,nq,nr->mqr", one_hot, wZ, Zf)
-                A = jnp.einsum("nm,nq,np->mqp", one_hot, wZ, Xf)
+                G = seg_rows(wZ[:, :, None] * Zf[:, None, :])
+                A = seg_rows(wZ[:, :, None] * Xf[:, None, :])
                 C = eye_q[None] + jnp.einsum("ji,mjk,kl->mil", Lam, G, Lam)
                 cholC = smallchol.chol(C)
                 At = jnp.einsum("ji,mjp->mip", Lam, A)
@@ -298,16 +313,29 @@ def _intercept_glmm_grid_stats(
     spec: SimSpec, arr: Dict, X, y, ids
 ) -> Dict[str, jnp.ndarray]:
     """Random-intercept GLMM (golden-section over log tau^2)."""
+    from . import clusterops
+
     c = spec.cluster
     m = c.n_clusters_at(spec.max_n)
     fit_cols = spec.effective_fit_cols
     pf = len(fit_cols)
+    max_n = spec.max_n
     Xf = X[:, jnp.asarray(fit_cols)].astype(jnp.float64)
     yf = y.astype(jnp.float64)
     rows = jnp.arange(spec.max_n)
-    one_hot = jax.nn.one_hot(ids, m, dtype=jnp.float64)
     mu_var_dmu = _link_funcs(spec.outcome, spec.link)
     eye = 1e-10 * jnp.eye(pf, dtype=jnp.float64)
+
+    # Per-cluster sums ride the STATIC row layout (reshape reductions, not
+    # one-hot matmuls — see engine.clusterops); u[ids] is a tile/repeat.
+    def seg(x):
+        return clusterops.seg_sum(spec, x)
+
+    def seg_cols(xnp):  # (n, p) -> (m, p)
+        return clusterops.seg_sum(spec, xnp.T).T
+
+    def urow(u):
+        return clusterops.per_row(spec, u, max_n)
 
     if spec.scenario.truth_start:
         beta0 = arr["effects"].astype(jnp.float64)[jnp.asarray(fit_cols)]
@@ -316,8 +344,7 @@ def _intercept_glmm_grid_stats(
 
     def per_grid(n):
         mask = (rows < n).astype(jnp.float64)
-        oh = one_hot * mask[:, None]
-        n_per = jnp.sum(oh, axis=0)  # rows per cluster at this N
+        n_per = seg(mask)  # rows per cluster at this N
         active = n_per > 0
 
         def make_pirls(dtype):
@@ -335,7 +362,6 @@ def _intercept_glmm_grid_stats(
             Xd = Xf.astype(dtype)
             yd = yf.astype(dtype)
             md = mask.astype(dtype)
-            ohd = oh.astype(dtype)
             ridge = (1e-10 if dtype == jnp.float64 else 1e-6)
             eyed = ridge * jnp.eye(pf, dtype=dtype)
 
@@ -345,23 +371,25 @@ def _intercept_glmm_grid_stats(
 
                 def body(_, carry):
                     beta, u = carry
-                    eta = Xd @ beta + u[ids]
+                    eta = smallchol.rowmv(Xd, beta) + urow(u)
                     mu, var, dmu = mu_var_dmu(eta)
                     w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * md
                     z = eta + (yd - mu) / dmu  # full working response
-                    W_i = ohd.T @ w  # (m,)
-                    s_i = ohd.T @ (w[:, None] * Xd)  # (m, p)
-                    t_i = ohd.T @ (w * z)  # (m,)
+                    W_i = seg(w)  # (m,)
+                    s_i = seg_cols(w[:, None] * Xd)  # (m, p)
+                    t_i = seg(w * z)  # (m,)
                     c_i = jnp.where(active, 1.0 / (W_i + inv_tau2_d), 0.0)
-                    a_xx = (Xd * w[:, None]).T @ Xd - jnp.einsum(
-                        "m,mp,mq->pq", c_i, s_i, s_i
-                    ) + eyed
-                    a_xy = Xd.T @ (w * z) - jnp.einsum(
-                        "m,mp,m->p", c_i, s_i, t_i
+                    a_xx = (
+                        smallchol.crossprod(Xd, w)
+                        - smallchol.wouter(c_i, s_i)
+                        + eyed
+                    )
+                    a_xy = smallchol.colsum(Xd, w * z) - smallchol.wvec(
+                        c_i, s_i, t_i
                     )
                     chol = smallchol.chol(a_xx)
                     beta_new = smallchol.cho_solve(chol, a_xy)
-                    u_new = c_i * (t_i - s_i @ beta_new)
+                    u_new = c_i * (t_i - smallchol.rowmv(s_i, beta_new))
                     ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
                         jnp.isfinite(u_new)
                     )
@@ -373,10 +401,10 @@ def _intercept_glmm_grid_stats(
                 beta, u = jax.lax.fori_loop(0, iters, body, (beta, u))
                 # final state quantities at the mode — deviance in f64
                 u64 = u.astype(jnp.float64)
-                eta = Xf @ beta.astype(jnp.float64) + u64[ids]
+                eta = smallchol.rowmv(Xf, beta.astype(jnp.float64)) + urow(u64)
                 mu, var, dmu = mu_var_dmu(eta)
                 w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-                W_i = oh.T @ w
+                W_i = seg(w)
                 dev_cond = _deviance(spec.outcome, yf, mu, mask)
                 laplace = (
                     dev_cond
@@ -409,9 +437,9 @@ def _intercept_glmm_grid_stats(
             sigma_i = 1.0 / jnp.sqrt(W_i + inv_tau2)  # (m,)
             lp_x = Xf @ beta  # fixed part per row
             u_k = u[None, :] + jnp.sqrt(2.0) * sigma_i[None, :] * gh_x[:, None]
-            eta = lp_x[None, :] + u_k[:, ids]  # (nodes, n)
+            eta = lp_x[None, :] + clusterops.per_row(spec, u_k, max_n)
             ll_rows = _loglik_rows(spec.outcome, spec.link, yf[None, :], eta)
-            ll_i = (ll_rows * mask_local[None, :]) @ oh  # (nodes, m)
+            ll_i = seg(ll_rows * mask_local[None, :])  # (nodes, m)
             prior = -0.5 * (u_k * u_k) * inv_tau2 - 0.5 * (
                 jnp.log(jnp.maximum(tau2, 1e-12)) + _LOG_2PI
             )
@@ -489,9 +517,11 @@ def _intercept_glmm_grid_stats(
             jnp.maximum(tau2_hat, 1e-12), beta_c, u_c, N_PIRLS
         )
         inv_tau2 = 1.0 / jnp.maximum(tau2_hat, 1e-12)
-        s_i = oh.T @ (w[:, None] * Xf)
+        s_i = seg_cols(w[:, None] * Xf)
         c_i = jnp.where(active, 1.0 / (W_i + inv_tau2), 0.0)
-        a_xx = (Xf * w[:, None]).T @ Xf - jnp.einsum("m,mp,mq->pq", c_i, s_i, s_i) + eye
+        a_xx = (
+            smallchol.crossprod(Xf, w) - smallchol.wouter(c_i, s_i) + eye
+        )
         chol = smallchol.chol(a_xx)
         cov = smallchol.cho_inverse(chol)
 
@@ -505,19 +535,19 @@ def _intercept_glmm_grid_stats(
 
             def dev_beta(beta_q):
                 def ubody(_, u_q):
-                    eta = Xf @ beta_q + u_q[ids]
+                    eta = Xf @ beta_q + urow(u_q)
                     mu, var, dmu = mu_var_dmu(eta)
                     w_q = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
                     r = (yf - mu) * mask
-                    g_u = oh.T @ r - u_q / tau2_c
-                    h_u = oh.T @ w_q + 1.0 / tau2_c
+                    g_u = seg(r) - u_q / tau2_c
+                    h_u = seg(w_q) + 1.0 / tau2_c
                     return jnp.where(active, u_q + g_u / h_u, 0.0)
 
                 u_q = jax.lax.fori_loop(0, 20, ubody, u)
-                eta = Xf @ beta_q + u_q[ids]
+                eta = Xf @ beta_q + urow(u_q)
                 mu, var, dmu = mu_var_dmu(eta)
                 w_q = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-                W_q = oh.T @ w_q
+                W_q = seg(w_q)
                 dev_cond = _deviance(spec.outcome, yf, mu, mask)
                 return (
                     dev_cond

@@ -63,8 +63,7 @@ def _cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int):
     Returns per grid point g: n_j (G, m), s (G, m, p), t (G, m),
     plus global xtx (G, p, p), xty (G, p), yty (G,), ysum (G,).
     """
-    p = Xf.shape[1]
-    one_hot = jax.nn.one_hot(ids, m, dtype=jnp.float64)  # (n, m)
+    from . import clusterops
 
     seg_n, seg_s, seg_t = [], [], []
     seg_xtx, seg_xty, seg_yty, seg_ysum = [], [], [], []
@@ -72,10 +71,12 @@ def _cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int):
     for n in spec.grid:
         Xseg = jax.lax.slice_in_dim(Xf, prev, n, axis=0)
         yseg = jax.lax.slice_in_dim(yf, prev, n, axis=0)
-        hseg = jax.lax.slice_in_dim(one_hot, prev, n, axis=0)
-        seg_n.append(jnp.sum(hseg, axis=0))
-        seg_s.append(hseg.T @ Xseg)  # (m, p)
-        seg_t.append(hseg.T @ yseg)  # (m,)
+        # Per-cluster sums via the static-layout reshape (engine.clusterops)
+        # instead of one-hot matmuls.
+        ones = jnp.ones(n - prev, jnp.float64)
+        seg_n.append(clusterops.seg_segment(spec, ones, prev, m))
+        seg_s.append(clusterops.seg_segment(spec, Xseg.T, prev, m).T)  # (m, p)
+        seg_t.append(clusterops.seg_segment(spec, yseg, prev, m))  # (m,)
         seg_xtx.append(Xseg.T @ Xseg)
         seg_xty.append(Xseg.T @ yseg)
         seg_yty.append(yseg @ yseg)
@@ -100,13 +101,13 @@ def _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, p):
     sigma2, logdet_v).
     """
     c = gamma / (1.0 + gamma * n_j)  # (m,)
-    a_xx = xtx - jnp.einsum("m,mp,mq->pq", c, s, s)
-    a_xy = xty - jnp.einsum("m,mp,m->p", c, s, t)
+    a_xx = xtx - smallchol.wouter(c, s)
+    a_xy = xty - smallchol.wvec(c, s, t)
     a_yy = yty - jnp.sum(c * t * t)
 
     chol = smallchol.chol(a_xx)
     beta = smallchol.cho_solve(chol, a_xy)
-    rss = a_yy - beta @ a_xy  # r' V0^-1 r at the profiled beta
+    rss = a_yy - (beta * a_xy).sum()  # r' V0^-1 r at the profiled beta
     df = n - p
     sigma2 = rss / df
 
@@ -160,18 +161,28 @@ def _slope_cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int, q: int, Zf):
     Returns per grid g: G (m,q,q), A (m,q,p), b (m,q), n_j (m,), and global
     xtx/xty/yty.
     """
-    one_hot = jax.nn.one_hot(ids, m, dtype=jnp.float64)
+    from . import clusterops
+
+    def seg(x, prev):  # (n_seg, ...) row-first -> (m, ...)
+        moved = jnp.moveaxis(x, 0, -1)
+        return jnp.moveaxis(
+            clusterops.seg_segment(spec, moved, prev, m), -1, 0
+        )
+
     segs = {k: [] for k in ("G", "A", "b", "n", "xtx", "xty", "yty")}
     prev = 0
     for n in spec.grid:
         Xs = jax.lax.slice_in_dim(Xf, prev, n, axis=0)
         ys = jax.lax.slice_in_dim(yf, prev, n, axis=0)
         Zs = jax.lax.slice_in_dim(Zf, prev, n, axis=0)
-        hs = jax.lax.slice_in_dim(one_hot, prev, n, axis=0)
-        segs["G"].append(jnp.einsum("nm,nq,nr->mqr", hs, Zs, Zs))
-        segs["A"].append(jnp.einsum("nm,nq,np->mqp", hs, Zs, Xs))
-        segs["b"].append(jnp.einsum("nm,nq,n->mq", hs, Zs, ys))
-        segs["n"].append(jnp.sum(hs, axis=0))
+        segs["G"].append(seg(Zs[:, :, None] * Zs[:, None, :], prev))
+        segs["A"].append(seg(Zs[:, :, None] * Xs[:, None, :], prev))
+        segs["b"].append(seg(Zs * ys[:, None], prev))
+        segs["n"].append(
+            clusterops.seg_segment(
+                spec, jnp.ones(n - prev, jnp.float64), prev, m
+            )
+        )
         segs["xtx"].append(Xs.T @ Xs)
         segs["xty"].append(Xs.T @ ys)
         segs["yty"].append(ys @ ys)

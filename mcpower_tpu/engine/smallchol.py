@@ -117,3 +117,42 @@ def chol_ok(L):
     """True where the factorization succeeded (finite, positive diagonal)."""
     d = jnp.diagonal(L, axis1=-2, axis2=-1)
     return jnp.all(jnp.isfinite(d) & (d > 0.0), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Tiny-matvec helpers: MXU-padding-free forms of the p-small contractions.
+# A batched (n, p) @ (p,) dot pads every dimension to the 128-lane MXU tile
+# (~50-100x its model FLOPs at p <= 5); the elementwise multiply + reduce
+# form stays on the VPU with zero padding. Same spirit as the unrolled
+# Cholesky above: p is static and tiny, so never hand XLA a "matmul".
+# ---------------------------------------------------------------------------
+
+
+def rowmv(X, b):
+    """(..., n, p) x (..., p) -> (..., n): per-row dot, VPU form."""
+    return (X * b[..., None, :]).sum(-1)
+
+
+def colsum(X, v):
+    """(..., n, p) x (..., n) -> (..., p): contraction over rows."""
+    return (X * v[..., :, None]).sum(-2)
+
+
+def crossprod(X, w):
+    """(..., n, p) with row weights (..., n) -> (..., p, p): X' diag(w) X
+    as an elementwise outer-product reduction (fuses; no MXU padding)."""
+    Xw = X * w[..., :, None]
+    return (Xw[..., :, :, None] * X[..., :, None, :]).sum(-3)
+
+
+def wouter(c, s):
+    """(..., m) weights x (..., m, p) -> (..., p, p): sum_m c_m s_m s_m'
+    (the Woodbury/Schur correction term), elementwise-reduction form."""
+    return (
+        (c[..., :, None, None] * s[..., :, :, None]) * s[..., :, None, :]
+    ).sum(-3)
+
+
+def wvec(c, s, t):
+    """(..., m), (..., m, p), (..., m) -> (..., p): sum_m c_m s_m t_m."""
+    return (c[..., :, None] * s * t[..., :, None]).sum(-2)
