@@ -48,9 +48,12 @@ def grid_suffstats(spec: SimSpec, Xf, yf):
     for n in spec.grid:
         seg = jax.lax.slice_in_dim(Xf, prev, n, axis=0)
         ys = jax.lax.slice_in_dim(yf, prev, n, axis=0)
-        segs_xtx.append(seg.T @ seg)
-        segs_xty.append(seg.T @ ys)
-        segs_yty.append(ys @ ys)
+        # Elementwise-reduction forms (smallchol rowmv-family rationale):
+        # a batched (P, n)@(n, P) dot at small P pads every dimension to
+        # the 128-lane MXU tile; the outer-product reduce stays on the VPU.
+        segs_xtx.append((seg[:, :, None] * seg[:, None, :]).sum(0))
+        segs_xty.append(smallchol.colsum(seg, ys))
+        segs_yty.append((ys * ys).sum())
         segs_ysum.append(jnp.sum(ys))
         prev = n
     xtx = jnp.cumsum(jnp.stack(segs_xtx), axis=0)
