@@ -196,8 +196,8 @@ def _slope_glmm_grid_stats(
 
                 def body(_, carry):
                     beta, v = carry
-                    u = v @ Ld.T  # (m, q)
-                    eta = Xd @ beta + jnp.einsum(
+                    u = (v[:, None, :] * Ld[None, :, :]).sum(-1)  # v @ Ld.T
+                    eta = smallchol.rowmv(Xd, beta) + jnp.einsum(
                         "nq,nq->n", Zd, rows_of(u)
                     )
                     mu, var, dmu = mu_var_dmu(eta)
@@ -207,24 +207,30 @@ def _slope_glmm_grid_stats(
                     G = seg_rows(wZ[:, :, None] * Zd[:, None, :])  # (m,q,r)
                     A = seg_rows(wZ[:, :, None] * Xd[:, None, :])  # (m,q,p)
                     b = seg_rows(wZ * z[:, None])  # (m, q)
-                    C = eye_qd[None] + jnp.einsum(
-                        "ji,mjk,kl->mil", Ld, G, Ld
-                    )
+                    LtG = (Ld[None, :, :, None] * G[:, :, None, :]).sum(1)
+                    C = eye_qd[None] + (
+                        LtG[:, :, :, None] * Ld[None, None, :, :]
+                    ).sum(2)
                     cholC = smallchol.chol(C)
-                    At = jnp.einsum("ji,mjp->mip", Ld, A)
-                    bt = jnp.einsum("ji,mj->mi", Ld, b)
+                    At = (Ld[None, :, :, None] * A[:, :, None, :]).sum(1)
+                    bt = (Ld[None, :, :] * b[:, :, None]).sum(1)
                     sol_b = smallchol.cho_solve(cholC, bt)  # (m, q)
                     sol_A = jax.vmap(
                         lambda ch, aa: jax.vmap(
                             lambda col: smallchol.cho_solve(ch, col)
                         )(aa.T).T
                     )(cholC, At)  # (m, q, p)
-                    xtwx = jnp.einsum("n,np,nq->pq", w, Xd, Xd)
-                    a_xx = xtwx - jnp.einsum("miq,mip->qp", At, sol_A) + eye_pd
-                    a_xy = Xd.T @ (w * z) - jnp.einsum("miq,mi->q", At, sol_b)
+                    a_xx = (
+                        smallchol.crossprod(Xd, w)
+                        - (At[:, :, :, None] * sol_A[:, :, None, :]).sum((0, 1))
+                        + eye_pd
+                    )
+                    a_xy = smallchol.colsum(Xd, w * z) - (
+                        At * sol_b[:, :, None]
+                    ).sum((0, 1))
                     cholP = smallchol.chol(a_xx)
                     beta_new = smallchol.cho_solve(cholP, a_xy)
-                    v_new = sol_b - jnp.einsum("mip,p->mi", sol_A, beta_new)
+                    v_new = sol_b - (sol_A * beta_new[None, None, :]).sum(-1)
                     ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
                         jnp.isfinite(v_new)
                     )
@@ -238,23 +244,31 @@ def _slope_glmm_grid_stats(
                 # Mode-state quantities in f64 (weights/logdet/Schur).
                 beta = beta.astype(jnp.float64)
                 v = v.astype(jnp.float64)
-                u = v @ Lam.T
-                eta = Xf @ beta + jnp.einsum("nq,nq->n", Zf, rows_of(u))
+                u = (v[:, None, :] * Lam[None, :, :]).sum(-1)  # v @ Lam.T
+                eta = smallchol.rowmv(Xf, beta) + jnp.einsum(
+                    "nq,nq->n", Zf, rows_of(u)
+                )
                 mu, var, dmu = mu_var_dmu(eta)
                 w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
                 wZ = Zf * w[:, None]
                 G = seg_rows(wZ[:, :, None] * Zf[:, None, :])
                 A = seg_rows(wZ[:, :, None] * Xf[:, None, :])
-                C = eye_q[None] + jnp.einsum("ji,mjk,kl->mil", Lam, G, Lam)
+                LtG = (Lam[None, :, :, None] * G[:, :, None, :]).sum(1)
+                C = eye_q[None] + (
+                    LtG[:, :, :, None] * Lam[None, None, :, :]
+                ).sum(2)
                 cholC = smallchol.chol(C)
-                At = jnp.einsum("ji,mjp->mip", Lam, A)
+                At = (Lam[None, :, :, None] * A[:, :, None, :]).sum(1)
                 sol_A = jax.vmap(
                     lambda ch, aa: jax.vmap(
                         lambda col: smallchol.cho_solve(ch, col)
                     )(aa.T).T
                 )(cholC, At)
-                xtwx = jnp.einsum("n,np,nq->pq", w, Xf, Xf)
-                a_xx = xtwx - jnp.einsum("miq,mip->qp", At, sol_A) + eye_p
+                a_xx = (
+                    smallchol.crossprod(Xf, w)
+                    - (At[:, :, :, None] * sol_A[:, :, None, :]).sum((0, 1))
+                    + eye_p
+                )
                 dev_cond = _deviance(spec.outcome, yf, mu, mask)
                 laplace = (
                     dev_cond

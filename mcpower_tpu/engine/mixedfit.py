@@ -202,26 +202,31 @@ def _vech_to_lower(theta, q: int):
 
 
 def _reml_quantities_q(Lam, G, A, b, xtx, xty, yty, n, p, q):
-    """Profile-REML pieces for the q-dim structure at one (sim, grid) cell."""
+    """Profile-REML pieces for the q-dim structure at one (sim, grid) cell.
+
+    All q/p-space contractions in elementwise-reduction form (smallchol
+    rowmv-family rationale: tiny batched dots pad to the MXU tile)."""
     # C_i = I_q + Lam' G_i Lam  (m, q, q), SPD
-    LtG = jnp.einsum("ij,miq->mjq", Lam, G)  # Lam' G
-    C = jnp.eye(q, dtype=Lam.dtype)[None] + jnp.einsum("mjq,qk->mjk", LtG, Lam)
+    LtG = (Lam[None, :, :, None] * G[:, :, None, :]).sum(1)  # (m, j, q)
+    C = jnp.eye(q, dtype=Lam.dtype)[None] + (
+        LtG[:, :, :, None] * Lam[None, None, :, :]
+    ).sum(2)
     cholC = smallchol.chol(C)
     # A~ = Lam' A_i : (m, q, p);  b~ = Lam' b_i
-    At = jnp.einsum("ji,mjp->mip", Lam, A)
-    bt = jnp.einsum("ji,mj->mi", Lam, b)  # (m, q)
+    At = (Lam[None, :, :, None] * A[:, :, None, :]).sum(1)  # (m, i, p)
+    bt = (Lam[None, :, :] * b[:, :, None]).sum(1)  # (m, i)
     # solve C^{-1} against A~ columns and b~
     sol_b = smallchol.cho_solve(cholC, bt)  # (m, q)
     sol_A = jax.vmap(
         lambda ch, aa: jax.vmap(lambda col: smallchol.cho_solve(ch, col))(aa.T).T,
     )(cholC, At)  # (m, q, p)
-    a_xx = xtx - jnp.einsum("miq,mip->qp", At, sol_A)
-    a_xy = xty - jnp.einsum("miq,mi->q", At, sol_b)
-    a_yy = yty - jnp.einsum("mi,mi->", bt, sol_b)
+    a_xx = xtx - (At[:, :, :, None] * sol_A[:, :, None, :]).sum((0, 1))
+    a_xy = xty - (At * sol_b[:, :, None]).sum((0, 1))
+    a_yy = yty - (bt * sol_b).sum()
 
     chol = smallchol.chol(a_xx)
     beta = smallchol.cho_solve(chol, a_xy)
-    rss = a_yy - beta @ a_xy
+    rss = a_yy - (beta * a_xy).sum()
     df = n - p
     sigma2 = rss / df
     logdet_v = jnp.sum(smallchol.logdet_from_chol(cholC))
