@@ -19,8 +19,10 @@ def apply_correction(t2, rank_crits, method: str):
     """Per-target significance after correction.
 
     t2:         (..., k) statistics.
-    rank_crits: (..., k) per-rank thresholds (rank 0 = smallest alpha share).
-    method:     'none' | 'bonferroni' | 'holm' | 'benjamini_hochberg'.
+    rank_crits: (..., k) per-rank thresholds (rank 0 = smallest alpha share);
+                under 'tukey_hsd' the axis is per-TARGET in original order.
+    method:     'none' | 'bonferroni' | 'holm' | 'benjamini_hochberg' |
+                'tukey_hsd'.
     Returns boolean (..., k) in the ORIGINAL target order.
     """
     k = t2.shape[-1]
@@ -29,6 +31,12 @@ def apply_correction(t2, rank_crits, method: str):
     if method in ("none", "bonferroni"):
         # Rank-independent thresholds: elementwise compare (rank 0 row).
         return t2 > rank_crits[..., :1]
+    if method == "tukey_hsd":
+        # Single-step per-target comparison, same shape as Bonferroni but the
+        # threshold varies per TARGET (its factor's studentized-range crit) —
+        # no sorting (reference correction.rs:41-52). NaN crits (non-factor
+        # targets) compare False -> always fail.
+        return t2 > rank_crits
 
     order = jnp.argsort(-t2, axis=-1)  # descending t^2 == ascending p
     t2_sorted = jnp.take_along_axis(t2, order, axis=-1)

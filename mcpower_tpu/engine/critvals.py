@@ -45,8 +45,18 @@ def f_ppf(p, dfn, dfd):
 
 
 def q_tukey_ppf(p, k, df):
-    """Studentized-range quantile (Tukey HSD), q such that P(Q <= q) = p."""
-    return _stats.studentized_range.ppf(p, k, df)
+    """Studentized-range quantile (Tukey HSD), q such that P(Q <= q) = p.
+
+    Edge semantics mirror the reference's q_tukey_ppf
+    (crates/engine-core/src/critvals.rs:687): k <= 1, df < 2, or non-finite
+    k/df yield NaN (matching R's qtukey degenerate cases) — never finite
+    garbage.
+    """
+    k = np.asarray(k, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    bad = ~np.isfinite(k) | ~np.isfinite(df) | (k <= 1.0) | (df < 2.0)
+    q = _stats.studentized_range.ppf(p, np.where(bad, 2.0, k), np.where(bad, 2.0, df))
+    return np.where(bad, np.nan, q)
 
 
 def _two_sided_t2(alpha: np.ndarray, df: np.ndarray, use_t: bool) -> np.ndarray:
@@ -73,7 +83,10 @@ class CritTable:
     t2_uncorrected: np.ndarray
     # (n_grid, n_targets): per-RANK corrected crits (rank 0 = most significant
     # = smallest p). Interpretation depends on the correction method; "none"
-    # duplicates the uncorrected row.
+    # duplicates the uncorrected row. Under "tukey_hsd" the second axis is
+    # per-TARGET (original target order, no rank sorting): each target's
+    # studentized-range threshold (q_{alpha,k,df}/sqrt(2))^2 with k = its
+    # factor's level count (NaN for non-factor targets -> always fail).
     t2_corrected_ranks: np.ndarray
     correction: str
     # (n_grid,): overall omnibus crit — F crit (OLS), chi2 crit (GLM LRT /
@@ -101,6 +114,7 @@ def build_crit_table(
     overall_df1: int = 0,
     posthoc_factors: Optional[Dict[int, int]] = None,  # factor idx -> k levels
     posthoc_correction: str = "tukey_hsd",
+    tukey_k_per_target: Optional[Sequence[float]] = None,
 ) -> CritTable:
     """Precompute every threshold for a run over the ascending N ``grid``.
 
@@ -134,14 +148,39 @@ def build_crit_table(
         alpha_ranks = alpha / (k - ranks)
     elif correction == "benjamini_hochberg":
         alpha_ranks = alpha * (ranks + 1.0) / k
-    elif correction in ("none", "tukey_hsd"):
-        # tukey applies to posthoc contrasts, not the marginal target row.
+    elif correction == "none":
         alpha_ranks = np.full(k, alpha)
-    else:
+    elif correction != "tukey_hsd":
         raise ValueError(f"unknown correction {correction!r}")
-    t2_corr = _two_sided_t2(
-        np.repeat(alpha_ranks[None, :], n_grid, axis=0), df_mat, use_t
-    )
+
+    if correction == "tukey_hsd":
+        # Per-TARGET single-step thresholds (reference critvals.rs:827
+        # build_with_tukey_k): each target compares against
+        # (q_{alpha, k_i, df}/sqrt(2))^2 where k_i is the level count L of the
+        # factor the target's column belongs to. Non-factor targets carry
+        # k_i = NaN -> NaN threshold -> always fail (a Tukey design should not
+        # point a marginal target at a non-factor column). df = N - P_fit for
+        # every estimator arm (the reference feeds the residual df into the
+        # studentized range even under Wald-z fits, critvals.rs:936).
+        ks = np.asarray(
+            tukey_k_per_target
+            if tukey_k_per_target is not None
+            else [np.nan] * k,
+            dtype=np.float64,
+        )
+        if ks.shape != (k,):
+            raise ValueError(
+                f"tukey_k_per_target must have one k per target ({k}); got "
+                f"shape {ks.shape}"
+            )
+        grid_len = np.asarray(grid, dtype=np.float64)
+        df_tukey = np.maximum(grid_len - p_fit, 1.0)
+        q = q_tukey_ppf(1.0 - alpha, ks[None, :], df_tukey[:, None])
+        t2_corr = np.square(q / np.sqrt(2.0))
+    else:
+        t2_corr = _two_sided_t2(
+            np.repeat(alpha_ranks[None, :], n_grid, axis=0), df_mat, use_t
+        )
 
     # Overall omnibus crit.
     if overall == "f":

@@ -185,6 +185,9 @@ def lower(
     if report_overall:
         overall_kind = "f" if estimator == "ols" else "chi2"
     ph_factors = {b.factor_index: b.n_levels for b in posthoc}
+    from .spec import tukey_k_per_target as _tukey_k
+
+    tukey_k = _tukey_k(spec) if correction == "tukey_hsd" else None
     table = critvals.build_crit_table(
         alpha=alpha,
         grid=grid,
@@ -196,6 +199,7 @@ def lower(
         overall_df1=max(pf - 1, 1),
         posthoc_factors=ph_factors,
         posthoc_correction="tukey_hsd",
+        tukey_k_per_target=tukey_k,
     )
 
     lp_mean, lp_std, col_mu, col_sd = compute_het_coeffs(
@@ -266,7 +270,11 @@ def lower(
     from .spec import max_droppable_fit_cols
 
     d_max = max_droppable_fit_cols(spec)
-    if d_max > 0 and use_t:
+    # df-dependent thresholds need one layer per droppable-column count:
+    # OLS t/F always; Tukey's studentized range (df = N - P) and the GLM
+    # overall chi2 (df = P - 1) even under Wald-z marginals.
+    df_dependent = use_t or correction == "tukey_hsd" or overall_kind == "chi2"
+    if d_max > 0 and df_dependent:
         stacks = {"unc": [], "corr": [], "overall": [], "posthoc": []}
         for d in range(d_max + 1):
             t_d = (
@@ -277,12 +285,13 @@ def lower(
                     grid=grid,
                     p_fit=pf - d,
                     n_targets=spec.n_targets,
-                    use_t=True,
+                    use_t=use_t,
                     correction=correction,
                     overall=overall_kind,
                     overall_df1=max(pf - d - 1, 1),
                     posthoc_factors=ph_factors,
                     posthoc_correction="tukey_hsd",
+                    tukey_k_per_target=tukey_k,
                 )
             )
             stacks["unc"].append(t_d.t2_uncorrected)

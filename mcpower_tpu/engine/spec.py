@@ -302,6 +302,31 @@ def factor_dependent_cols(spec: SimSpec, f: int) -> Tuple[int, ...]:
     return tuple(cols)
 
 
+def tukey_k_per_target(spec: SimSpec) -> Tuple[float, ...]:
+    """Studentized-range ``k`` (factor level count) per inference target.
+
+    Mirrors the reference's ``tukey_k_for_kernel_col``
+    (crates/engine-core/src/batch.rs:2233): a target pointing at a factor
+    dummy column carries that factor's level count L; the intercept, a
+    continuous predictor, or an interaction carries NaN (always fails under
+    Tukey). Contrast targets take k from the POSITIVE side's column — a
+    same-factor pairwise contrast has both sides in the same block either way
+    (batch.rs:2353-2365). Order matches the t^2 layout: marginals first,
+    then contrasts (waldstats.t2_targets).
+    """
+
+    def k_for_col(col: int) -> float:
+        for f, levels in enumerate(spec.factor_levels):
+            if col in spec.factor_dummy_cols(f):
+                return float(levels)
+        return float("nan")
+
+    fit = spec.effective_fit_cols
+    ks = [k_for_col(fit[pos]) for pos in spec.target_cols]
+    ks += [k_for_col(fit[pos_a]) for pos_a, _ in spec.contrasts]
+    return tuple(ks)
+
+
 def max_droppable_fit_cols(spec: SimSpec) -> int:
     """Largest number of FIT columns sparse-factor exclusion can remove
     (sizes the reduced-df crit tables)."""
