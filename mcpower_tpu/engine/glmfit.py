@@ -153,6 +153,21 @@ def _irls(outcome, link, Xf, yf, mask, beta0, pin=None):
     return beta, cov, converged, dev
 
 
+def data_intercept(outcome: str, link: str, ybar):
+    """Cold-start intercept on the link scale from the realized outcome mean
+    (the non-truth-start seed every sim fit uses; shared with the
+    provided-data mirror fit so both paths start identically)."""
+    ybar = jnp.clip(ybar, 1e-6, 1 - 1e-6 if outcome == "binary" else jnp.inf)
+    if outcome == "binary":
+        icpt = jnp.log(ybar / (1 - ybar))
+        if link == "probit":
+            # crude probit intercept seed; IRLS refines it
+            icpt = icpt / 1.6
+    else:
+        icpt = jnp.log(ybar)
+    return icpt
+
+
 def _null_deviance(outcome, yf, mask, n):
     """Intercept-only deviance: the canonical-link MLE is mu = ybar."""
     ybar = jnp.sum(yf * mask, axis=-1) / n

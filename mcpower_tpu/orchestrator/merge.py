@@ -105,24 +105,17 @@ def merge_power_results(parts: Sequence[Dict]) -> Dict:
     if "estimator_extras" in base:
         out["estimator_extras"] = _pool_estimator_extras(parts)
 
-    # Sample-size outputs re-derived from pooled counters.
+    # Sample-size outputs (per-target, joint, overall) re-derived from the
+    # pooled counters through the SAME derivation the one-shot run uses —
+    # never copied from part 0 (reference merge.rs:242 re-derives everything).
     if "fitted" in base:
-        from . import crossing, grid as gridmod
+        from .runner import derive_sample_size_outputs
 
-        grid_ns = base["sample_sizes"]
-        target_power = base.get("target_power", 0.8)
-        atom = base.get("cluster_atom", 1)
-        p_corr = sig_corr / max(n, 1)
-        first, fits = {}, {}
-        for i, label in enumerate(base["target_labels"]):
-            first[label] = gridmod.first_n_at_target(
-                p_corr, grid_ns, target_power, i
-            )
-            fits[label] = crossing.fit_crossing(
-                grid_ns, sig_corr[:, i], n, target_power, atom
-            ).__dict__
-        out["first_achieved"] = first
-        out["fitted"] = fits
+        derive_sample_size_outputs(
+            out,
+            target_power=base.get("target_power", 0.8),
+            atom=base.get("cluster_atom", 1),
+        )
 
     merged_warnings: List[str] = []
     for p in parts:

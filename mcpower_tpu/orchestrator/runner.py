@@ -95,14 +95,22 @@ def find_sample_size(
         )
         res["target_power"] = gridmod.as_proportion(target_power)
         res["cluster_atom"] = atom
-        _derive_sample_size_outputs(res, sc.spec, counts, target_power, atom)
+        derive_sample_size_outputs(res, target_power=target_power, atom=atom)
         out[sc.label] = res
     return out
 
 
-def _derive_sample_size_outputs(res, spec, counts, target_power, atom):
-    grid_ns = list(spec.grid)
-    n_done = int(counts["n_done"])
+def derive_sample_size_outputs(res: Dict, *, target_power, atom) -> None:
+    """Derive first-achieved + crossing fits (per-target, joint, overall)
+    from the counters already folded into ``res``, in place.
+
+    A pure function of the result dict, shared by the one-shot sample-size
+    path and the counter-pooling merge — the reference re-derives ALL
+    sample-size outputs after pooling (merge.rs:242), so merged results must
+    go through the same derivation as a single run, never copy part 0's.
+    """
+    grid_ns = list(res["sample_sizes"])
+    n_done = int(res["n_sims"])
     p_corr = np.asarray(res["powers"]["corrected"])  # (G, k)
 
     first = {}

@@ -144,6 +144,57 @@ def test_merge_pools_estimator_extras_weighted():
     assert me["boundary_hits"] == fe["boundary_hits"]
 
 
+def test_merge_rederives_joint_and_overall_sample_size_outputs():
+    """Merged sample-size results must re-derive fitted_joint/fitted_overall/
+    first_joint_achieved/first_overall_achieved from POOLED counters — not
+    copy part 0's (VERDICT r2 missing #3; reference merge.rs:242). Two
+    unequal parts over disjoint sim ids must reproduce the one-shot run's
+    outputs exactly."""
+    grid, _ = gridmod.build_grid(40, 240, 6, "linear", 1, 1)
+    effects = np.array([0.0, 0.35, 0.3])
+    spec, arrays = lower.lower(
+        grid=grid,
+        var_types=["normal", "normal"],
+        effects=effects,
+        target_cols=[1, 2],
+        report_overall=True,
+    )
+    sc = runner.LoweredScenario(
+        label="optimistic", spec=spec, arrays=arrays, target_labels=["x1", "x2"]
+    )
+    full = runner.find_sample_size(
+        [sc], n_sims=900, base_seed=77, target_power=80.0
+    )["optimistic"]
+
+    parts = []
+    for off, cnt in ((0, 300), (300, 600)):  # deliberately unequal
+        c = batch.run_batch(spec, arrays, cnt, 77, sim_id_offset=off)
+        r = results.fold_counts(spec, c, target_labels=["x1", "x2"])
+        r["target_power"] = 0.8
+        r["cluster_atom"] = 1
+        runner.derive_sample_size_outputs(r, target_power=80.0, atom=1)
+        parts.append(r)
+    merged = merge.merge_power_results(parts)
+
+    assert merged["n_sims"] == full["n_sims"] == 900
+    # Per-part outputs differ from the pooled truth (otherwise the test
+    # couldn't tell a re-derivation from a part-0 copy).
+    assert (
+        parts[0]["fitted_overall"] != full["fitted_overall"]
+        or parts[0]["fitted_joint"] != full["fitted_joint"]
+        or parts[0]["fitted"] != full["fitted"]
+    )
+    for key in (
+        "fitted",
+        "first_achieved",
+        "fitted_joint",
+        "first_joint_achieved",
+        "fitted_overall",
+        "first_overall_achieved",
+    ):
+        assert merged[key] == full[key], key
+
+
 def test_sharded_run_matches_single_device():
     """8-device shard_map run returns bit-identical counts."""
     from mcpower_tpu.parallel.mesh import run_batch_sharded
