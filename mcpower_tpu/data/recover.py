@@ -4,8 +4,10 @@ The recovery path of the reference (engine-spec-builder upload.rs
 ``build_recovery_design`` + engine-core introspect.rs ``fit_provided_data``):
 build the model's design matrix from the uploaded columns exactly as the
 generator would (standardized continuous, 0/1 binary, reference-coded
-dummies, interaction products), fit with the family's estimator, and return
-semantically-named standardized effects.
+dummies, interaction products), fit it with the engine's OWN estimator
+kernels — the "mirror contract": recovered effects are exactly what the
+engine would estimate on the same bytes — and return semantically-named
+standardized effects.
 """
 
 from __future__ import annotations
@@ -13,7 +15,8 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import numpy as np
-from scipy import optimize, stats
+
+from ..engine import providedfit
 
 
 def _design_from_upload(registry, upload, y_name: str):
@@ -55,32 +58,13 @@ def _design_from_upload(registry, upload, y_name: str):
     return X, y, names
 
 
-def recover_effects(registry, upload, y_name: str, family: str) -> Tuple[Dict[str, float], str]:
+def recover_effects(
+    registry, upload, y_name: str, family: str
+) -> Tuple[Dict[str, float], str]:
     X, y, names = _design_from_upload(registry, upload, y_name)
-    if family in ("logit", "probit"):
-        y = (y > 0.5).astype(np.float64) if set(np.unique(y)) != {0.0, 1.0} else y
-
-        def nll(b):
-            eta = X @ b
-            if family == "probit":
-                p = np.clip(stats.norm.cdf(eta), 1e-12, 1 - 1e-12)
-                return -(y * np.log(p) + (1 - y) * np.log(1 - p)).sum()
-            return (np.logaddexp(0, eta) - y * eta).sum()
-
-        res = optimize.minimize(nll, np.zeros(X.shape[1]), method="BFGS",
-                                options={"gtol": 1e-9, "maxiter": 500})
-        beta = res.x
-        diag = f"{family} ML fit, n={len(y)}"
-    elif family == "poisson":
-        def nll(b):
-            eta = np.clip(X @ b, -30, 30)
-            return (np.exp(eta) - y * eta).sum()
-
-        res = optimize.minimize(nll, np.zeros(X.shape[1]), method="BFGS",
-                                options={"gtol": 1e-9, "maxiter": 500})
-        beta = res.x
-        diag = f"poisson ML fit, n={len(y)}"
-    else:
-        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
-        diag = f"OLS fit, n={len(y)}"
+    if family in ("logit", "probit") and set(np.unique(y)) != {0.0, 1.0}:
+        y = (y > 0.5).astype(np.float64)
+    beta, converged, diag = providedfit.fit_provided(X, y, family)
+    if not converged:
+        diag += " (WARNING: fit did not converge)"
     return {n: float(b) for n, b in zip(names, beta[1:])}, diag

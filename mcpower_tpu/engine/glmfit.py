@@ -220,17 +220,7 @@ def glm_grid_stats(
         beta0_full = jnp.zeros(pf, jnp.float64)
 
     def _data_intercept(ybar):
-        ybar = jnp.clip(
-            ybar, 1e-6, 1 - 1e-6 if spec.outcome == "binary" else jnp.inf
-        )
-        if spec.outcome == "binary":
-            icpt = jnp.log(ybar / (1 - ybar))
-            if spec.link == "probit":
-                # crude probit intercept seed; IRLS refines it
-                icpt = icpt / 1.6
-        else:
-            icpt = jnp.log(ybar)
-        return icpt
+        return data_intercept(spec.outcome, spec.link, ybar)
 
     def per_grid(n, cmrow, counts_row):
         mask = (rows < n).astype(jnp.float64)

@@ -127,6 +127,93 @@ def test_get_effects_from_data():
     assert abs(float(eff["b"]) - 0.3) < 0.12
 
 
+def test_recover_mirror_contract_ols():
+    """Recovered effects must be EXACTLY the engine kernel's estimate on the
+    same bytes (reference introspect.rs:174 fit_provided_data), and that
+    estimate must agree with an independent lstsq to OLS parity tolerance."""
+    from mcpower_tpu.data.recover import recover_effects
+    from mcpower_tpu.data.upload import prepare_upload
+    from mcpower_tpu.engine import providedfit
+    from mcpower_tpu.specbuilder.variables import VariableRegistry
+
+    d = _pilot(n=500, seed=7)
+    up = prepare_upload(d)
+    reg = VariableRegistry("y ~ x1 + b + g")
+    reg.set_variable_type("g", {"type": "factor", "n_levels": 3})
+    eff, diag = recover_effects(reg, up, "y", "linear")
+    assert "engine kernel" in diag
+
+    # Rebuild the exact design the recover path fits and run the engine
+    # kernel directly: values must match bit-for-bit (same code path).
+    X = np.column_stack(
+        [
+            np.ones(up.n_rows),
+            up.columns["x1"].values,
+            up.columns["b"].values,
+            (up.columns["g"].values == 1).astype(np.float64),
+            (up.columns["g"].values == 2).astype(np.float64),
+        ]
+    )
+    y = up.columns["y"].values
+    beta, converged, _ = providedfit.fit_provided(X, y, "linear")
+    assert converged
+    got = [eff["x1"], eff["b"], eff["g[2]"], eff["g[3]"]]
+    np.testing.assert_array_equal(got, beta[1:])
+
+    # Independent oracle: numpy lstsq at OLS parity tolerance.
+    ref = np.linalg.lstsq(X, y, rcond=None)[0]
+    np.testing.assert_allclose(beta, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_recover_mirror_contract_logit():
+    """The logit recover path runs the engine's IRLS; an independent scipy
+    ML fit must agree to GLM parity tolerance (BASELINE.md rel <= 1e-4)."""
+    from scipy import optimize
+
+    from mcpower_tpu.engine import providedfit
+
+    rs = np.random.RandomState(3)
+    n = 800
+    x = rs.normal(size=n)
+    eta = -0.4 + 0.7 * x
+    yb = (rs.uniform(size=n) < 1.0 / (1.0 + np.exp(-eta))).astype(float)
+    X = np.column_stack([np.ones(n), x])
+
+    beta, converged, diag = providedfit.fit_provided(X, yb, "logit")
+    assert converged and "IRLS" in diag
+
+    def nll(b):
+        e = X @ b
+        return (np.logaddexp(0, e) - yb * e).sum()
+
+    ref = optimize.minimize(
+        nll, np.zeros(2), method="BFGS", options={"gtol": 1e-10}
+    ).x
+    np.testing.assert_allclose(beta, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_get_effects_matches_engine_capture_end_to_end():
+    """MCPower.get_effects_from_data output == the engine kernel's fit on the
+    same standardized bytes, through the public API."""
+    from mcpower_tpu.data.upload import prepare_upload
+    from mcpower_tpu.engine import providedfit
+
+    d = _pilot(n=600, seed=11)
+    m = MCPower("y ~ x1 + b")
+    m.upload_data(d, mode="partial")
+    s = m.get_effects_from_data("y", verbose=False)
+    eff = dict(kv.split("=") for kv in s.replace(" ", "").split(","))
+
+    up = prepare_upload({k: d[k] for k in ("x1", "b", "y")})
+    X = np.column_stack(
+        [np.ones(up.n_rows), up.columns["x1"].values, up.columns["b"].values]
+    )
+    beta, _, _ = providedfit.fit_provided(X, up.columns["y"].values, "linear")
+    # the API rounds for display; compare at its printed precision
+    for name, b in zip(("x1", "b"), beta[1:]):
+        assert abs(float(eff[name]) - b) < 5e-4
+
+
 def test_type_lock_conflict():
     d = _pilot()
     m = MCPower("y ~ x1 + b")
