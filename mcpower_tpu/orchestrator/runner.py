@@ -128,20 +128,31 @@ def derive_sample_size_outputs(res: Dict, *, target_power, atom) -> None:
     res["first_achieved"] = first
     res["fitted"] = fits
 
-    if "joint_counts_corrected" in res:
-        jc = np.asarray(res["joint_counts_corrected"])
-        jr = jc / max(n_done, 1)
-        res["first_joint_achieved"] = next(
-            (
-                int(n)
-                for n, r in zip(grid_ns, jr)
-                if r >= gridmod.as_proportion(target_power)
-            ),
-            None,
-        )
-        res["fitted_joint"] = crossing.fit_crossing(
-            grid_ns, jc, n_done, target_power, atom
-        ).__dict__
+    # Joint family from the per-N CORRECTED histograms (matching
+    # first_achieved, which reads corrected power): index j is k = j+1, so
+    # first_joint_achieved[j] / fitted_joint[j] answer "first N / crossing fit
+    # for P(at least j+1 of the targets significant) >= target". Tail-sum of
+    # histogram buckets >= k gives the at-least-k success counts per grid N.
+    # Mirrors the reference derivation (engine-orchestrator/src/grid.rs:254-287).
+    if "success_count_histogram_corrected" in res:
+        hist = np.asarray(res["success_count_histogram_corrected"])  # (G, m+1)
+        n_joint = hist.shape[1] - 1
+        p_target = gridmod.as_proportion(target_power)
+        first_joint: Dict[int, Optional[int]] = {}
+        fitted_joint: Dict[int, Dict] = {}
+        for j in range(n_joint):
+            k = j + 1
+            counts = hist[:, k:].sum(axis=1)
+            rates = counts / max(n_done, 1)
+            first_joint[j] = next(
+                (int(n) for n, r in zip(grid_ns, rates) if r >= p_target),
+                None,
+            )
+            fitted_joint[j] = crossing.fit_crossing(
+                grid_ns, counts, n_done, target_power, atom
+            ).__dict__
+        res["first_joint_achieved"] = first_joint
+        res["fitted_joint"] = fitted_joint
     if "overall_counts" in res:
         oc = np.asarray(res["overall_counts"])
         orate = oc / max(n_done, 1)
@@ -173,6 +184,7 @@ def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None):
             n_sims,
             base_seed,
             devices=devices,
+            chunk_size=chunk,
             progress=cb,
             cancel=router.cancel,
         )

@@ -79,11 +79,23 @@ def run_batch_sharded(
     base_seed: int,
     *,
     devices=None,
+    sim_id_offset: int = 0,
+    chunk_size: Optional[int] = None,
     progress=None,
     cancel=None,
 ) -> Dict[str, np.ndarray]:
     """Device-sharded run_batch: identical counts to the single-device path
-    (global sim ids), one psum per dispatch."""
+    (global sim ids), one psum per dispatch.
+
+    Chunked dispatch mirrors run_batch's host-control model (the reference's
+    per-sim progress/cancel cadence, engine-core spec.rs:38-52): global
+    sim-id chunks run over the mesh, ``progress(done, total)`` fires between
+    chunks and ``cancel()`` returning True stops between chunks — partial
+    counts return with ``n_done`` recording completed sims, exactly like the
+    single-device path, so the merge algebra handles a cancelled shard run.
+    Every chunk dispatches the SAME padded shape (one compile); the tail uses
+    the validity mask.
+    """
     spec.validate_layout()
     mesh = sims_mesh(devices)
     mesh_key = tuple(id(d) for d in mesh.devices.flat)
@@ -91,15 +103,29 @@ def run_batch_sharded(
     nd = mesh.devices.size
 
     seed_lo, seed_hi = batch_mod._split_seed(base_seed)
-    per = -(-n_sims // nd)
-    padded = per * nd
-    sim_ids = jnp.arange(padded, dtype=jnp.uint32)
-    valid = sim_ids < n_sims
-
     fn = _sharded_fn(spec, mesh_key)
-    out = fn(arrays, jnp.uint32(seed_lo), jnp.uint32(seed_hi), sim_ids, valid)
-    totals = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
-    totals["n_done"] = np.asarray(n_sims)
-    if progress is not None:
-        progress(n_sims, n_sims)
+
+    chunk = int(chunk_size) if chunk_size else max(min(n_sims, 4096), 1)
+    # Pad the chunk length to a device multiple once; all dispatches reuse it.
+    chunk_padded = -(-chunk // nd) * nd
+    lanes = jnp.arange(chunk_padded, dtype=jnp.uint32)
+
+    totals: Dict[str, np.ndarray] = {}
+    done = 0
+    while done < n_sims:
+        m = min(chunk, n_sims - done)
+        sim_ids = lanes + jnp.uint32(sim_id_offset + done)
+        valid = lanes < m
+        out = fn(
+            arrays, jnp.uint32(seed_lo), jnp.uint32(seed_hi), sim_ids, valid
+        )
+        out = jax.device_get(out)
+        for name, v in out.items():
+            totals[name] = totals.get(name, 0) + np.asarray(v)
+        done += m
+        if progress is not None:
+            progress(done, n_sims)
+        if cancel is not None and cancel():
+            break
+    totals["n_done"] = np.asarray(done)
     return totals
