@@ -246,6 +246,85 @@ def test_glmm_slope_power_sane():
     assert abs(tau2_mean - 0.35) < 0.15, tau2_mean
 
 
+def _ref_rx_t2(X, y, ids, m, D, q=1, Zcols=None, outcome="binary"):
+    """Independent rx-path t^2: dense FULL-SYSTEM penalized IRLS at a given
+    RE covariance D — stack [X | Z] into one (p + m*q) design with penalty
+    blockdiag(0, I_m kron D^-1) and solve the joint system directly with
+    numpy. The beta block of the inverse joint information IS the
+    Schur-complement covariance (reference WaldSe::Rx, estimator.rs:47-84)
+    without ever writing the Schur algebra the engine uses."""
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    n, p = X.shape
+    D = np.atleast_2d(np.asarray(D, np.float64))
+    Z = np.ones((n, 1)) if Zcols is None else np.column_stack(Zcols)
+    Zfull = np.zeros((n, m * q))
+    for r in range(n):
+        Zfull[r, ids[r] * q : (ids[r] + 1) * q] = Z[r]
+    Xa = np.hstack([X, Zfull])
+    P = np.zeros((p + m * q, p + m * q))
+    Dinv = np.linalg.inv(D)
+    for i in range(m):
+        P[p + i * q : p + (i + 1) * q, p + i * q : p + (i + 1) * q] = Dinv
+    params = np.zeros(p + m * q)
+    H = None
+    for _ in range(300):
+        eta = Xa @ params
+        if outcome == "binary":
+            mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+            w = mu * (1 - mu)
+        else:
+            mu = np.exp(np.clip(eta, -30, 30))
+            w = mu
+        z = eta + (y - mu) / w
+        H = Xa.T @ (w[:, None] * Xa) + P
+        new = np.linalg.solve(H, Xa.T @ (w * z))
+        if np.max(np.abs(new - params)) < 1e-12:
+            params = new
+            break
+        params = new
+    cov_beta = np.linalg.inv(H)[:p, :p]
+    return params[:p], cov_beta
+
+
+def test_glmm_rx_wald_se_parity_intercept():
+    """DEFAULT wald_se='rx' t^2 parity on the SAME bytes (VERDICT r2 weak #2):
+    the engine's Schur covariance must match an independent full-system
+    penalized IRLS at the independent tau2-hat, rtol <= 5%."""
+    spec, arrays = _lower_glmm([300], tau2=0.4, beta=0.5, n_clusters=30)
+    assert spec.wald_se == "rx"
+    n_sims = 3
+    cap = batch.run_batch_capture(spec, arrays, n_sims, 2137)
+    for s in range(n_sims):
+        X, y, ids = _gen(spec, arrays, s)
+        Xr = X[:, :2].astype(np.float64)
+        b_lap, tau2_ref = _ref_glmm_laplace(Xr, y, ids, 30, "binary")
+        b_ref, cov_ref = _ref_rx_t2(Xr, y, ids, 30, [[tau2_ref]])
+        t2_ref = b_ref[1] ** 2 / cov_ref[1, 1]
+        np.testing.assert_allclose(cap["t2"][s, 0, 0], t2_ref, rtol=0.05)
+
+
+def test_glmm_rx_wald_se_parity_slopes():
+    """rx t^2 + beta parity for the random-slope path: engine Schur cov vs
+    the independent full-system (q=2) penalized IRLS at the independent
+    D-hat, rtol <= 5% (VERDICT r2 'next' #2)."""
+    spec, arrays = _lower_glmm_slope([400], n_clusters=20)
+    assert spec.wald_se == "rx"
+    n_sims = 2
+    cap = batch.run_batch_capture(spec, arrays, n_sims, 2137)
+    for s in range(n_sims):
+        X, y, ids = _gen(spec, arrays, s)
+        Xr = X[:, :2].astype(np.float64)
+        b_lap, D_ref = _ref_glmm_slope_laplace(Xr, y, ids, 20)
+        b_ref, cov_ref = _ref_rx_t2(
+            Xr, y, ids, 20, D_ref, q=2, Zcols=[np.ones(len(y)), Xr[:, 1]]
+        )
+        # beta parity vs the independent dense Laplace optimum
+        np.testing.assert_allclose(b_lap, b_ref, rtol=0.05, atol=0.02)
+        t2_ref = b_ref[1] ** 2 / cov_ref[1, 1]
+        np.testing.assert_allclose(cap["t2"][s, 0, 0], t2_ref, rtol=0.05)
+
+
 def test_glmm_hessian_wald_se_parity():
     """wald_se='hessian': engine t^2 matches an independent FD-Hessian of
     the u-profiled Laplace deviance (cov = 2 H^-1) at the independent
