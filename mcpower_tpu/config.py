@@ -77,6 +77,50 @@ CONFIG: Dict[str, Any] = {
             "glm": "LR χ²",
             "mle": "Wald χ²",
         },
+        # Interpretive strings — kept textually identical to the reference's
+        # configs/config.json report.text so reports read the same across
+        # frameworks (single-source text, never duplicated per port).
+        "text": {
+            "long_title": "MCPower · Power Analysis",
+            "main_caption": "Per-test power",
+            "uncorrected_suffix": " — Uncorrected",
+            "corrected_suffix": " — Corrected",
+            "ci_caption": "Power & 95% CI",
+            "ci_footnote": "95% CIs are Monte-Carlo (Wilson), n_sims={n_sims}.",
+            "estimator_extras_caption": "Estimator details",
+            "sample_size_caption": "Required sample size per effect",
+            "required_n_ci_caption": "Required N & 95% CI",
+            "required_n_ci_footnote": (
+                "Required N from the model-based crossing fit (isotonic); "
+                "CI by Wilson band inversion, rounded outward."
+            ),
+            "required_n_ci_footnote_appr": (
+                "appr. = probit extrapolation beyond the search range — "
+                "rerun with a higher `to` to confirm."
+            ),
+            "required_n_ci_footnote_suppressed": (
+                "— = fit suppressed ({labels}: non-monotone within the grid)."
+            ),
+            "required_n_ci_footnote_floor": (
+                "≤ = target reached at or below the search floor — rerun "
+                "with a lower `from` to localise."
+            ),
+            "non_monotone_warning": (
+                "⚠ {label}: power not monotone in N (max drop {drop} > MC "
+                "noise); model-based fit suppressed — grid value shown."
+            ),
+            "vs_token": "vs",
+            "columns": {
+                "test": "Test",
+                "power": "Power",
+                "target": "Target",
+                "or": "OR",
+                "ci": "CI 95%",
+                "required_n": "Required N",
+                "uncorrected": "uncorrected",
+                "corrected": "corrected",
+            },
+        },
     },
     "upload": {
         "max_rows": 1_000_000,

@@ -780,6 +780,21 @@ class MCPower:
                 "the design is likely unstable at this N"
             )
 
+    def _run_meta(self) -> Dict[str, Any]:
+        """Run-level metadata for the report header (the reference port's
+        `meta` dict fed to output/report.py: formula, estimator, effects echo
+        with OR for logit outcomes, residual, target)."""
+        return {
+            "formula": self._registry.formula,
+            "family": self.family,
+            "estimator": self.estimator,
+            "outcome_kind": self.outcome_kind,
+            "alpha": self.alpha,
+            "effects": dict(self._effects),
+            "residual": self._residual[0],
+            "target_power": self.power,
+        }
+
     def _package(self, results: Dict[str, Dict], names: List[str], kind: str):
         for res in results.values():
             self._check_failure_threshold(res)
@@ -798,6 +813,7 @@ class MCPower:
         if len(names) == 1:
             out = dict(results[names[0]])
             out["alpha"] = self.alpha
+            out["meta"] = self._run_meta()
             return wrap_result(out, kind)
         return wrap_result(
             {
@@ -812,6 +828,7 @@ class MCPower:
                 "alpha": self.alpha,
                 "formula": self._registry.formula,
                 "family": self.family,
+                "meta": self._run_meta(),
             },
             kind,
         )
