@@ -65,8 +65,16 @@ def _crit_rows(arr: Dict, key2d: str, key3d: str, dropped):
     return arr[key2d]
 
 
-def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
-    """All per-sim significance flags across the grid. Pure function."""
+def run_one_sim(
+    spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id,
+    separation_fallback: bool = True,
+) -> Dict:
+    """All per-sim significance flags across the grid. Pure function.
+
+    ``separation_fallback=False`` compiles the GLM arm WITHOUT the second
+    (fallback) IRLS — the cheap program the separation gate dispatches
+    first (see ``run_batch``).
+    """
     # Per-sim key: one Philox call on the key-derivation stream.
     k0, k1, _, _ = rng.philox4x32(
         jnp.asarray(sim_id, jnp.uint32),
@@ -102,7 +110,10 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
         else:
             from . import glmfit
 
-            stats = glmfit.glm_grid_stats(spec, arr, X, y, ids, colmask=colmask)
+            stats = glmfit.glm_grid_stats(
+                spec, arr, X, y, ids, colmask=colmask,
+                fallback=separation_fallback,
+            )
     elif spec.estimator == "mle":
         if spec.outcome != "continuous":
             from . import glmmfit
@@ -160,6 +171,7 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
         "tau2_hat",
         "glm_baseline",
         "separation_fallback",
+        "pinned_comp",
     ):
         if extra in stats:
             out[extra] = stats[extra]
@@ -174,6 +186,29 @@ def run_one_sim(spec: SimSpec, arr: Dict, seed_lo, seed_hi, sim_id) -> Dict:
     return out
 
 
+def _reduce_counts(per_sim: Dict, weight=None) -> Dict:
+    """On-device count reduction: booleans -> int32 sums over the sim axis;
+    float diagnostics -> sums (host divides by n). ``weight`` is an optional
+    per-sim 0/1 mask multiplying each sim's contribution."""
+    counts = {}
+    for name, v in per_sim.items():
+        if name == "t2":
+            continue
+        if weight is not None:
+            w = weight.reshape((-1,) + (1,) * (v.ndim - 1))
+            if v.dtype == bool:
+                v = v & w
+            else:
+                v = v * w.astype(v.dtype)
+        if v.dtype == bool:
+            counts[name] = jnp.sum(v.astype(jnp.int32), axis=0)
+        else:
+            counts[name] = jnp.sum(
+                jnp.where(jnp.isfinite(v), v, 0.0).astype(jnp.float64), axis=0
+            )
+    return counts
+
+
 @lru_cache(maxsize=64)
 def _batch_fn(spec: SimSpec, capture: bool):
     """Build + cache the jitted batched program for one static spec."""
@@ -184,21 +219,60 @@ def _batch_fn(spec: SimSpec, capture: bool):
         )(sim_ids)
         if capture:
             return per_sim
-        # Reduce to counts on device: booleans -> int32 sums over the sim
-        # axis; float diagnostics -> sums (host divides by n).
-        counts = {}
-        for name, v in per_sim.items():
-            if name == "t2":
-                continue
-            if v.dtype == bool:
-                counts[name] = jnp.sum(v.astype(jnp.int32), axis=0)
-            else:
-                counts[name] = jnp.sum(
-                    jnp.where(jnp.isfinite(v), v, 0.0).astype(jnp.float64), axis=0
-                )
-        return counts
+        return _reduce_counts(per_sim)
 
     return jax.jit(batched)
+
+
+@lru_cache(maxsize=64)
+def _primary_fn(spec: SimSpec):
+    """Fallback-free program for the separation gate: counts over fully-clean
+    sims (every grid cell converged on the primary fit) plus the per-sim
+    failure bits the host uses to route the rare failed sims to the rescue
+    program. Clean sims' outputs are identical between the fallback-free and
+    fused programs (the fallback pass only changes outputs through fb_used
+    selects), so primary + rescue totals are bit-identical to one fused run."""
+
+    def batched(arr: Dict, seed_lo, seed_hi, sim_ids):
+        per_sim = jax.vmap(
+            lambda sid: run_one_sim(
+                spec, arr, seed_lo, seed_hi, sid, separation_fallback=False
+            )
+        )(sim_ids)
+        clean = jnp.all(per_sim["converged"], axis=1)  # (n_sims,)
+        return _reduce_counts(per_sim, weight=clean), ~clean
+
+    return jax.jit(batched)
+
+
+@lru_cache(maxsize=64)
+def _rescue_fn(spec: SimSpec):
+    """Valid-masked fused program: full (primary + fallback) fits for the
+    failed sims, padded to the static rescue block size."""
+
+    def batched(arr: Dict, seed_lo, seed_hi, sim_ids, valid):
+        per_sim = jax.vmap(
+            lambda sid: run_one_sim(spec, arr, seed_lo, seed_hi, sid)
+        )(sim_ids)
+        return _reduce_counts(per_sim, weight=valid)
+
+    return jax.jit(batched)
+
+
+# Static pad size for rescue dispatches (one compile); >RESCUE_BLOCK failures
+# in a chunk simply dispatch multiple blocks. Separation gating applies to
+# the unclustered GLM arm with factors — the only arm with a fallback pass.
+RESCUE_BLOCK = 256
+SEPARATION_GATE = True  # module switch so tests can pin gated == fused
+
+
+def _gate_applies(spec: SimSpec) -> bool:
+    return (
+        SEPARATION_GATE
+        and spec.estimator == "glm"
+        and spec.cluster is None
+        and bool(spec.factor_levels)
+    )
 
 
 def run_batch(
@@ -220,21 +294,52 @@ def run_batch(
     algebra handles partial batches).
     """
     spec.validate_layout()
-    fn = _batch_fn(spec, False)
+    gated = _gate_applies(spec)
+    fn = _primary_fn(spec) if gated else _batch_fn(spec, False)
     seed_lo, seed_hi = _split_seed(base_seed)
+    slo, shi = jnp.uint32(seed_lo), jnp.uint32(seed_hi)
 
     chunk = int(chunk_size) if chunk_size else max(min(n_sims, 4096), 1)
     totals: Dict[str, np.ndarray] = {}
+
+    def _fold(out):
+        for name, v in jax.device_get(out).items():
+            totals[name] = totals.get(name, 0) + np.asarray(v)
+
     done = 0
     while done < n_sims:
         m = min(chunk, n_sims - done)
         sim_ids = jnp.arange(
             sim_id_offset + done, sim_id_offset + done + m, dtype=jnp.uint32
         )
-        out = fn(arrays, jnp.uint32(seed_lo), jnp.uint32(seed_hi), sim_ids)
-        out = jax.device_get(out)
-        for name, v in out.items():
-            totals[name] = totals.get(name, 0) + np.asarray(v)
+        if gated:
+            # Separation gate: cheap fallback-free pass over the chunk, then
+            # route only the failed sims through the fused rescue program
+            # (reference pays the fallback only on the cold branch,
+            # batch.rs:1990-2020). Totals are bit-identical to one fused run.
+            out, failed = fn(arrays, slo, shi, sim_ids)
+            _fold(out)
+            f_ids = np.asarray(sim_ids)[np.asarray(failed)]
+            if f_ids.size:
+                rescue = _rescue_fn(spec)
+                for b0 in range(0, f_ids.size, RESCUE_BLOCK):
+                    blk = f_ids[b0 : b0 + RESCUE_BLOCK]
+                    pad = np.zeros(RESCUE_BLOCK, np.uint32)
+                    pad[: blk.size] = blk
+                    valid = np.zeros(RESCUE_BLOCK, bool)
+                    valid[: blk.size] = True
+                    _fold(
+                        rescue(
+                            arrays, slo, shi, jnp.asarray(pad),
+                            jnp.asarray(valid),
+                        )
+                    )
+            # clean runs never execute a fallback: surface the zero count
+            totals.setdefault(
+                "separation_fallback", np.zeros(spec.n_grid, np.int32)
+            )
+        else:
+            _fold(fn(arrays, slo, shi, sim_ids))
         done += m
         if progress is not None:
             progress(done, n_sims)

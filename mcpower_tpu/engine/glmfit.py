@@ -176,7 +176,7 @@ def _null_deviance(outcome, yf, mask, n):
 
 
 def glm_grid_stats(
-    spec: SimSpec, arr: Dict, X, y, ids, colmask=None
+    spec: SimSpec, arr: Dict, X, y, ids, colmask=None, fallback: bool = True
 ) -> Dict[str, jnp.ndarray]:
     """All GLM test statistics for one sim across the grid.
 
@@ -187,6 +187,12 @@ def glm_grid_stats(
     replaces the failed cells (the reference's separation fallback,
     crates/engine-core/src/batch.rs:1936-2020); ``separation_fallback``
     counts the cells rescued this way.
+
+    ``fallback=False`` compiles the primary fit only — the cheap program the
+    batch driver's separation gate dispatches first; failed sims are then
+    re-run through the full (fallback=True) program, so the common
+    all-converged case never pays the second IRLS (the reference pays it
+    only on the cold branch, batch.rs:1990-2020).
     """
     from .spec import factor_dependent_cols
 
@@ -234,7 +240,7 @@ def glm_grid_stats(
             spec.outcome, spec.link, Xf * cmrow[None, :], yf, mask, beta0, pin
         )
         fb_used = jnp.bool_(False)
-        if n_factors:
+        if n_factors and fallback:
             # Separation fallback: drop the sparsest factor, one cold refit.
             sparsest = jnp.argmin(counts_row)
             cm_fb = cmrow * (1.0 - drop_rows_j[sparsest])
@@ -274,6 +280,6 @@ def glm_grid_stats(
         "glm_baseline": ybar,
         "singular": ~converged,
     }
-    if n_factors:
+    if n_factors and fallback:
         out["separation_fallback"] = fb_used
     return waldstats.add_posthoc(out, spec, beta, cov)
