@@ -18,11 +18,13 @@ entirely for the random-intercept case:
 * Those suff-stats are **prefix sums over the CRN grid** (segment-sums per
   cluster id, cumsum over grid segments), so one generation pass serves every
   grid N, like the OLS arm.
-* The 1-D optimization over gamma = tau^2/sigma^2 is a fixed-iteration golden
-  section in log-gamma — deterministic, branch-free, identical cost in every
-  lane, replacing BOBYQA's data-dependent iteration counts (the reference's
+* The 1-D optimization over gamma = tau^2/sigma^2 is a fixed-round k-section
+  search in log-gamma (6 batched probes per round, bracket kept around the
+  best) — deterministic, branch-free, identical cost in every lane,
+  replacing BOBYQA's data-dependent iteration counts (the reference's
   warm-start carry exists to amortize serial fits; a batched fixed search
-  needs no carry).
+  needs no carry) with ~2.6x less sequential depth than the golden-section
+  chain it superseded.
 
 Boundary (singular) fits pin gamma at the search floor and are flagged
 (``boundary_hit``), mirroring the reference's theta-pinning bitmask
@@ -44,17 +46,18 @@ import numpy as np
 from . import smallchol, waldstats
 from .spec import SimSpec
 
-# log-gamma golden-section search window and iteration budget.
+# log-gamma search window and budgets.
 LOG_GAMMA_LO = -14.0  # gamma ~ 8e-7: effectively singular
 LOG_GAMMA_HI = 7.0  # gamma ~ 1100: ICC 0.999
-# 36 iterations bracket log-gamma to 21*phi^36 ~ 6e-8 — gamma_hat relative
-# error ~3e-8, far inside the t^2 rtol 1e-6 parity gate (the tightest
-# consumer; tau^2 gates are 1e-3). The previous 60 left the bracket at
-# ~3e-13, paying 24 extra sequential deviance evaluations for precision
-# nothing observes.
-GOLDEN_ITERS = 36
 BOUNDARY_LOG_GAMMA = -12.0  # below this, report a boundary (singular) fit
-_INV_PHI = 0.6180339887498949
+# k-section budgets: 14 rounds of 6 batched probes bracket log-gamma to
+# 21*(2/7)^14 ~ 5e-7 — the same final bracket the 36-iteration golden
+# search left (21*phi^36 ~ 6e-7), at 2.6x less SEQUENTIAL depth. The mixed
+# arms are latency-bound, not FLOPs-bound (ARCHITECTURE.md round-2/3
+# profile), so the 6 probes per round ride free in vmap lanes while the
+# round count is what wall-clock tracks.
+KSEC_PROBES = 6
+KSEC_ROUNDS = 14
 
 
 def _cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int):
@@ -118,41 +121,33 @@ def _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, p):
     return dev, beta, chol, sigma2, rss
 
 
-def _golden_minimize(dev_fn, lo: float, hi: float, iters: int):
-    """Fixed-iteration golden-section minimum: one NEW evaluation per
-    iteration (the classic value-carrying variant)."""
+def _ksection_minimize(dev_fn, lo: float, hi: float, rounds: int, k: int):
+    """Fixed-round k-section minimum for a unimodal scalar objective.
+
+    Each round evaluates k equally spaced interior probes as ONE vmapped
+    batch and keeps the bracket around the best probe — interval factor
+    2/(k+1) per round vs golden's phi per evaluation, so the SEQUENTIAL
+    dependency chain is ~2.6x shallower at k=6 for the same final bracket
+    while the extra probes fill otherwise-idle vector lanes. This is the
+    "k-section search" headroom item from the round-2 profile: the mixed
+    arms are latency/serialization-bound, so round count, not probe count,
+    is what wall-clock tracks.
+    """
     a = jnp.float64(lo)
     b = jnp.float64(hi)
-    x1 = b - _INV_PHI * (b - a)
-    x2 = a + _INV_PHI * (b - a)
-    f1 = dev_fn(x1)
-    f2 = dev_fn(x2)
+    fracs = jnp.arange(1, k + 1, dtype=jnp.float64) / (k + 1)
 
     def body(_, carry):
-        a, b, x1, x2, f1, f2 = carry
-        keep_left = f1 < f2  # minimum in [a, x2]
-        a2 = jnp.where(keep_left, a, x1)
-        b2 = jnp.where(keep_left, x2, b)
-        x1_new = b2 - _INV_PHI * (b2 - a2)
-        x2_new = a2 + _INV_PHI * (b2 - a2)
-        # keep_left: new x2 == old x1 (value known); else new x1 == old x2.
-        x_eval = jnp.where(keep_left, x1_new, x2_new)
-        f_eval = dev_fn(x_eval)
-        x1o = jnp.where(keep_left, x_eval, x2)
-        f1o = jnp.where(keep_left, f_eval, f2)
-        x2o = jnp.where(keep_left, x1, x_eval)
-        f2o = jnp.where(keep_left, f1, f_eval)
-        return a2, b2, x1o, x2o, f1o, f2o
+        a, b = carry
+        xs = a + fracs * (b - a)
+        fs = jax.vmap(dev_fn)(xs)
+        j = jnp.argmin(fs).astype(jnp.float64)
+        w = (b - a) / (k + 1)
+        # probe x_j = a + (j+1) w; new bracket [x_{j-1}, x_{j+1}]
+        return a + j * w, a + (j + 2.0) * w
 
-    a, b, *_ = jax.lax.fori_loop(0, iters, body, (a, b, x1, x2, f1, f2))
+    a, b = jax.lax.fori_loop(0, rounds, body, (a, b))
     return 0.5 * (a + b)
-
-
-# ---------------------------------------------------------------------------
-# Random-slope path: q-dimensional relative covariance Gamma = Lam Lam'
-# (lme4's theta = vech chol parameterization), optimized by the batched
-# fixed-iteration Nelder-Mead in engine.optim.
-# ---------------------------------------------------------------------------
 
 
 def _slope_cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int, q: int, Zf):
@@ -292,16 +287,22 @@ def _slope_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
         )
         cov = sigma2 * smallchol.cho_inverse(chol)
         diag = jnp.diagonal(Lam)
-        boundary = jnp.any(diag < 1e-4)
+        # Per-component boundary pinning, order [intercept, slope_0, ...] —
+        # the reference's pinned_components u64 bitmask (spec.rs:562-573),
+        # kept unpacked so the generic bool count reduction sums per bit.
+        pinned = diag < 1e-4
+        boundary = jnp.any(pinned)
         Gamma = Lam @ Lam.T
         tau2_hat = Gamma[0, 0] * sigma2
         converged = jnp.isfinite(dev) & jnp.all(jnp.isfinite(beta)) & (sigma2 > 0)
-        return beta, cov, converged, boundary, tau2_hat
+        return beta, cov, converged, boundary, tau2_hat, pinned
 
-    beta, cov, converged, boundary, tau2_hat = jax.vmap(per_grid)(
+    beta, cov, converged, boundary, tau2_hat, pinned = jax.vmap(per_grid)(
         ss["G"], ss["A"], ss["b"], ss["n"], ss["xtx"], ss["xty"], ss["yty"], ns
     )
-    return _assemble_outputs(spec, beta, cov, converged, boundary, tau2_hat)
+    return _assemble_outputs(
+        spec, beta, cov, converged, boundary, tau2_hat, pinned
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -480,21 +481,27 @@ def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
         cov = sigma2 * smallchol.cho_inverse(chol)
         Lam1 = _vech_to_lower(theta_hat[: sizes[0]], q1)
         tau2_hat = (Lam1 @ Lam1.T)[0, 0] * sigma2
-        # Boundary: any grouping's intercept/slope SD pinned at ~0.
+        # Boundary: any grouping's intercept/slope SD pinned at ~0. Kept
+        # per-component (order: primary [intercept, slope_0, ...] then each
+        # extra grouping's components) — the reference's pinned_components
+        # bitmask (spec.rs:562-573) in unpacked form.
         diag_entries = []
         off = 0
         for (_, q, _, _, _), sz in zip(plan, sizes):
             Lg = _vech_to_lower(theta_hat[off : off + sz], q)
             diag_entries.append(jnp.diagonal(Lg))
             off += sz
-        boundary = jnp.any(jnp.concatenate(diag_entries) < 1e-4)
+        pinned = jnp.concatenate(diag_entries) < 1e-4
+        boundary = jnp.any(pinned)
         converged = jnp.isfinite(dev) & jnp.all(jnp.isfinite(beta)) & (sigma2 > 0)
-        return beta, cov, converged, boundary, tau2_hat
+        return beta, cov, converged, boundary, tau2_hat, pinned
 
-    beta, cov, converged, boundary, tau2_hat = jax.vmap(per_grid)(
+    beta, cov, converged, boundary, tau2_hat, pinned = jax.vmap(per_grid)(
         ss["ztz"], ss["ztx"], ss["zty"], ss["xtx"], ss["xty"], ss["yty"], ns
     )
-    return _assemble_outputs(spec, beta, cov, converged, boundary, tau2_hat)
+    return _assemble_outputs(
+        spec, beta, cov, converged, boundary, tau2_hat, pinned
+    )
 
 
 def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
@@ -529,8 +536,8 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
             dev, *_ = _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, pf)
             return dev
 
-        log_gamma_hat = _golden_minimize(
-            dev_at, LOG_GAMMA_LO, LOG_GAMMA_HI, GOLDEN_ITERS
+        log_gamma_hat = _ksection_minimize(
+            dev_at, LOG_GAMMA_LO, LOG_GAMMA_HI, KSEC_ROUNDS, KSEC_PROBES
         )
         # Boundary pinning: compare the interior optimum against gamma = 0
         # (exact OLS limit); REML deviance is continuous there.
@@ -552,18 +559,31 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
             & jnp.all(jnp.isfinite(beta))
             & (sigma2 > 0.0)
         )
-        return beta, cov, converged, boundary, tau2_hat
+        # Single variance component: the pin vector is just the boundary bit.
+        return beta, cov, converged, boundary, tau2_hat, boundary[None]
 
     # One traced copy of the whole REML search, vmapped over the grid axis —
     # keeps the XLA program size independent of grid length.
-    beta, cov, converged, boundary, tau2_hat = jax.vmap(per_grid)(
+    beta, cov, converged, boundary, tau2_hat, pinned = jax.vmap(per_grid)(
         n_j_g, s_g, t_g, xtx_g, xty_g, yty_g, ns
     )
-    return _assemble_outputs(spec, beta, cov, converged, boundary, tau2_hat)
+    return _assemble_outputs(
+        spec, beta, cov, converged, boundary, tau2_hat, pinned
+    )
 
 
-def _assemble_outputs(spec: SimSpec, beta, cov, converged, boundary, tau2_hat):
-    """t^2 / omnibus / posthoc assembly shared by both LMM paths."""
+def _assemble_outputs(
+    spec: SimSpec, beta, cov, converged, boundary, tau2_hat, pinned
+):
+    """t^2 / omnibus / posthoc assembly shared by all LMM paths.
+
+    ``pinned`` is the (G, n_components) per-component boundary-pin matrix in
+    diagonal-theta order [intercept, slope_0, ..., extra_1, ...] — the
+    reference's pinned_components bitmask (engine-core spec.rs:562-573),
+    unpacked so the batch driver's bool reduction yields per-component
+    counts. Masked to converged fits: the surfaced rates use the converged
+    count as denominator (result.rs:360-386).
+    """
     out = {
         "t2": waldstats.t2_targets(spec, beta, cov),
         # Joint Wald chi^2 over all targets (the MLE omnibus,
@@ -572,5 +592,6 @@ def _assemble_outputs(spec: SimSpec, beta, cov, converged, boundary, tau2_hat):
         "converged": converged,
         "boundary_hit": boundary,
         "tau2_hat": tau2_hat,
+        "pinned_comp": pinned & converged[:, None],
     }
     return waldstats.add_posthoc(out, spec, beta, cov)

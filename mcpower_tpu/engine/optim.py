@@ -4,12 +4,33 @@ The reference drives its multi-parameter REML/Laplace objectives with BOBYQA
 (serial, data-dependent iteration counts — crates.io bobyqa, used at
 crates/engine-core/src/batch.rs). On TPU every lane must run in lockstep, so
 this module provides the batched equivalent: a FIXED-iteration Nelder-Mead
-whose reflect/expand/contract/shrink cases are all where-selects — identical
-cost per lane per iteration, vmappable, differentiable-free.
+whose reflect/expand/contract cases are all where-selects — identical cost
+per lane per iteration, vmappable, gradient-free.
 
 Dimensions here are tiny (theta = vech chol of a q x q relative covariance,
 q <= 4 => d <= 10), where Nelder-Mead is competitive with model-based
 methods and needs no gradients of the log-det-heavy objective.
+
+Cost model (why this NM looks different from the textbook one):
+
+* The four candidate points (reflection, expansion, outside/inside
+  contraction) are evaluated as ONE vmapped batch instead of four serial
+  calls — for objectives whose evaluation is itself a big segment-sum /
+  small-chol pipeline (the REML/Laplace deviances), one 4-lane batched
+  pass has far better arithmetic intensity than four narrow passes and
+  pipelines onto the MXU/VPU as a single fused program.
+* There is NO shrink evaluation. Textbook NM re-evaluates all d+1 shrunk
+  vertices whenever no candidate is accepted; branch-free execution would
+  pay those d+1 evaluations EVERY iteration (they dominated this search's
+  cost: (d+1)/(d+5) of all objective evals for a step taken on the rare
+  no-accept path). Instead, a failed iteration accepts the inside
+  contraction unconditionally — the replacement is strictly inside the
+  simplex, so the simplex still contracts geometrically on repeated
+  failures (same asymptotic role as shrink), its f-value is already
+  computed and stays truthful, and the incumbent best vertex is never
+  displaced. Near the truth-started optima this search runs at, no-accept
+  iterations are rare and the variant is numerically indistinguishable
+  (parity suites pin the fits at 2-5% tolerances).
 """
 
 from __future__ import annotations
@@ -37,33 +58,31 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
     verts = clip(verts)
     fvals = jax.vmap(f)(verts)
 
-    alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+    alpha, gamma, rho = 1.0, 2.0, 0.5
 
     def body(_, carry):
         verts, fvals = carry
         order = jnp.argsort(fvals)
         verts = verts[order]
         fvals = fvals[order]
-        best, worst, second = verts[0], verts[-1], fvals[-2]
+        worst, second = verts[-1], fvals[-2]
         f_best, f_worst = fvals[0], fvals[-1]
 
         centroid = jnp.mean(verts[:-1], axis=0)
         xr = clip(centroid + alpha * (centroid - worst))
-        fr = f(xr)
-
         xe = clip(centroid + gamma * (xr - centroid))
-        fe = f(xe)
-        # outside/inside contraction
         xc_out = clip(centroid + rho * (xr - centroid))
-        fc_out = f(xc_out)
         xc_in = clip(centroid - rho * (centroid - worst))
-        fc_in = f(xc_in)
+        # one 4-lane batched evaluation per iteration
+        fr, fe, fc_out, fc_in = jax.vmap(f)(
+            jnp.stack([xr, xe, xc_out, xc_in])
+        )
 
-        # case selection for the worst vertex's replacement
+        # case selection for the worst vertex's replacement; when nothing
+        # qualifies, take the inside contraction anyway (see module note)
         use_expand = (fr < f_best) & (fe < fr)
         use_reflect = (fr < second) & ~use_expand | ((fr < f_best) & ~(fe < fr))
         use_cout = (~use_expand) & (~use_reflect) & (fr < f_worst) & (fc_out <= fr)
-        use_cin = (~use_expand) & (~use_reflect) & ~(fr < f_worst) & (fc_in < f_worst)
         replaced = jnp.where(
             use_expand,
             xe,
@@ -74,23 +93,10 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
             fe,
             jnp.where(use_reflect, fr, jnp.where(use_cout, fc_out, fc_in)),
         )
-        accept = use_expand | use_reflect | use_cout | use_cin
-
-        # shrink all non-best vertices when nothing was accepted
-        shrunk = clip(verts[0][None, :] + sigma * (verts - verts[0][None, :]))
-        f_shrunk = jax.vmap(f)(shrunk)
-
-        new_verts = jnp.where(
-            accept,
+        return (
             verts.at[-1].set(replaced),
-            shrunk.at[0].set(verts[0]),
-        )
-        new_fvals = jnp.where(
-            accept,
             fvals.at[-1].set(f_replaced),
-            f_shrunk.at[0].set(fvals[0]),
         )
-        return new_verts, new_fvals
 
     verts, fvals = jax.lax.fori_loop(0, iters, body, (verts, fvals))
     i_best = jnp.argmin(fvals)

@@ -146,12 +146,28 @@ def _pool_estimator_extras(parts: Sequence[Dict]) -> Dict:
         merged: Dict = {}
         for key in dict.fromkeys(keys):
             rows = [(p, e[key]) for p, e in arm_parts if key in e]
-            if key == "boundary_hits":
+            if key in ("boundary_hits", "boundary_component_counts"):
                 merged[key] = np.sum(
                     [np.asarray(v, dtype=np.int64) for _, v in rows], axis=0
                 ).tolist()
-            elif key == "tau_estimate":
-                continue  # re-derived from the pooled tau^2 mean below
+                if key == "boundary_component_counts":
+                    # Rate re-derived from pooled counts over pooled
+                    # converged counts (exact, like every counter).
+                    conv = np.maximum(
+                        np.sum(
+                            [
+                                np.asarray(p["converged_counts"], np.float64)
+                                for p, _ in rows
+                            ],
+                            axis=0,
+                        ),
+                        1.0,
+                    )
+                    merged["boundary_rate_per_component"] = (
+                        np.asarray(merged[key], np.float64) / conv[:, None]
+                    ).tolist()
+            elif key in ("tau_estimate", "boundary_rate_per_component"):
+                continue  # re-derived from pooled counters above/below
             elif key == "tau_squared_hat_mean":
                 num = np.sum(
                     [

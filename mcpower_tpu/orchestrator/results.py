@@ -167,6 +167,17 @@ def fold_counts(
         if "boundary_hit" in counts:
             extras["boundary_hits"] = np.asarray(counts["boundary_hit"]).tolist()
             extras["boundary_hit_rate"] = rate(counts["boundary_hit"], n_done).tolist()
+    if spec.estimator in ("glm", "mle") and "pinned_comp" in counts:
+        # Per-variance-component boundary-pin diagnostics, diagonal-theta
+        # order [intercept, slope_0, ..., extra_1, ...]; rate denominator is
+        # the per-grid converged count (reference pinned_components →
+        # boundary_rate_per_component, result.rs:360-398).
+        pc = np.asarray(counts["pinned_comp"], dtype=np.int64)  # (G, n_comp)
+        conv = np.maximum(np.asarray(converged, dtype=np.float64), 1.0)
+        extras["boundary_component_counts"] = pc.tolist()
+        extras["boundary_rate_per_component"] = (
+            pc / conv[:, None]
+        ).tolist()
     if extras:
         result["estimator_extras"] = {spec.estimator: extras}
 

@@ -142,6 +142,14 @@ def test_merge_pools_estimator_extras_weighted():
         me["boundary_hit_rate"], fe["boundary_hit_rate"], rtol=1e-12
     )
     assert me["boundary_hits"] == fe["boundary_hits"]
+    # per-component pin counters pool exactly; rates re-derive from the
+    # pooled converged counts
+    assert me["boundary_component_counts"] == fe["boundary_component_counts"]
+    np.testing.assert_allclose(
+        me["boundary_rate_per_component"],
+        fe["boundary_rate_per_component"],
+        rtol=1e-12,
+    )
 
 
 def test_merge_rederives_joint_and_overall_sample_size_outputs():

