@@ -114,6 +114,42 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_app_run(args) -> int:
+    """Power at one N for an AppSpec JSON document — the GUI/R host verb.
+
+    Same boundary as the reference's engine-app-spec driver
+    (crates/engine-app-spec/src/driver.rs run_find_power): the caller never
+    touches engine types, only the tagged AppSpec JSON in and the
+    host-neutral payload {result, plots, summary} out. ports/r/mcpower.R is
+    a second-language host built entirely on this verb.
+    """
+    from .appspec import run_find_power
+
+    with open(args.file) as fh:
+        doc = fh.read()
+    payload = run_find_power(doc, int(args.n))
+    json.dump(payload, _out_fh(args), indent=None if args.compact else 2)
+    print(file=_out_fh(args))
+    return 0
+
+
+def cmd_app_search(args) -> int:
+    """Sample-size search for an AppSpec JSON document (GUI/R host verb)."""
+    from .appspec import run_find_sample_size
+
+    with open(args.file) as fh:
+        doc = fh.read()
+    payload = run_find_sample_size(
+        doc,
+        from_size=getattr(args, "from") and int(getattr(args, "from")),
+        to_size=args.to and int(args.to),
+        by=args.by,
+    )
+    json.dump(payload, _out_fh(args), indent=None if args.compact else 2)
+    print(file=_out_fh(args))
+    return 0
+
+
 def _out_fh(args):
     if getattr(args, "_fh", None) is None:
         args._fh = open(args.out, "w") if args.out else sys.stdout
@@ -149,6 +185,26 @@ def main(argv=None) -> int:
     s.add_argument("--out", default=None)
     s.add_argument("--compact", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    ar = sub.add_parser(
+        "app-run", help="power at a single N for an AppSpec JSON document"
+    )
+    ar.add_argument("file")
+    ar.add_argument("--n", required=True, type=int, help="sample size")
+    ar.add_argument("--out", default=None)
+    ar.add_argument("--compact", action="store_true")
+    ar.set_defaults(fn=cmd_app_run)
+
+    asrch = sub.add_parser(
+        "app-search", help="sample-size search for an AppSpec JSON document"
+    )
+    asrch.add_argument("file")
+    asrch.add_argument("--from", dest="from", default=None)
+    asrch.add_argument("--to", default=None)
+    asrch.add_argument("--by", default=None)
+    asrch.add_argument("--out", default=None)
+    asrch.add_argument("--compact", action="store_true")
+    asrch.set_defaults(fn=cmd_app_search)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,88 @@
+"""R host boundary: the app-run / app-search CLI verbs the R shim drives.
+
+ports/r/mcpower.R is a second-language host that only (a) emits the tagged
+AppSpec JSON and (b) consumes the {result, plots, summary} payload from
+`python -m mcpower_tpu app-run|app-search`. These tests pin that boundary
+with the EXACT document shape the R builder produces, so the shim stays
+correct without an R runtime in the image; when Rscript is available the
+real R checks run too (reference ports/r/R/mcpower.R:16 — host = wire
+marshalling only).
+"""
+
+import json
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+# The JSON ports/r/mcpower.R::mcp_spec emits for
+#   mcp_spec("y", c("x1","x2"), c(x1=0.45, x2=0.3), n_sims=200, seed=42)
+R_SHIM_DOC = {
+    "family": "linear",
+    "parsed_formula": {
+        "outcome": "y",
+        "predictors": ["x1", "x2"],
+        "interaction_terms": [],
+    },
+    "var_types": [
+        {"kind": "numeric", "name": "x1"},
+        {"kind": "numeric", "name": "x2"},
+    ],
+    "effects": [
+        {"name": "x1", "value": 0.45},
+        {"name": "x2", "value": 0.3},
+    ],
+    "correlations": None,
+    "alpha": 0.05,
+    "target_power": 0.8,
+    "n_sims": 200,
+    "seed": 42,
+    "tests": {"kind": "all"},
+    "correction": "none",
+    "csv": None,
+}
+
+
+def _run_cli(tmp_path, verb, extra):
+    from mcpower_tpu.__main__ import main
+
+    spec_file = tmp_path / "spec.json"
+    out_file = tmp_path / "out.json"
+    spec_file.write_text(json.dumps(R_SHIM_DOC))
+    rc = main([verb, str(spec_file), *extra, "--out", str(out_file),
+               "--compact"])
+    assert rc == 0
+    return json.loads(out_file.read_text())
+
+
+def test_app_run_payload_structure(tmp_path):
+    payload = _run_cli(tmp_path, "app-run", ["--n", "150"])
+    assert set(payload) >= {"result", "plots", "summary"}
+    res = payload["result"]
+    p = res["powers"]["uncorrected"][0]
+    assert len(p) == 2 and all(0.0 <= v <= 1.0 for v in p)
+    assert p[0] > p[1]  # x1=0.45 beats x2=0.3
+    assert "MCPower" in payload["summary"]
+    assert payload["plots"]  # Vega-Lite bundle for the GUI host
+
+
+def test_app_search_payload_structure(tmp_path):
+    payload = _run_cli(tmp_path, "app-search", ["--from", "40", "--to", "200"])
+    res = payload["result"]
+    assert "fitted" in res and "first_achieved" in res
+    assert "x1" in res["fitted"]
+    assert "Required sample size per effect" in payload["summary"]
+
+
+@pytest.mark.skipif(shutil.which("Rscript") is None,
+                    reason="R runtime not in this image")
+def test_r_shim_end_to_end():
+    proc = subprocess.run(
+        ["Rscript", "ports/r/test_mcpower.R"],
+        capture_output=True,
+        text=True,
+        env={"MCPOWER_PYTHON": sys.executable},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "ALL R HOST CHECKS PASSED" in proc.stdout
