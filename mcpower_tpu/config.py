@@ -29,6 +29,13 @@ CONFIG: Dict[str, Any] = {
         "max_failed_fraction": 0.1,
         "sample_size_bounds": {"from": 30, "to": 200, "by": "auto"},
         "cluster_auto_count": 12,
+        # Target progress beats per scenario run. Each beat is one device
+        # dispatch (chunk), so this trades host-sync/cancel granularity
+        # against per-dispatch batch size; the reference's thread loop
+        # reports ~50x/run (batch.rs:449) but pays nothing per report —
+        # here chunks below ~256 sims start to under-fill the device.
+        "progress_beats": 8,
+        "min_chunk_sims": 256,
     },
     "estimation": {
         # GLMM defaults: wald_se "rx" is the fast Schur SE mode; "hessian"

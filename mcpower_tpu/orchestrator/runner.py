@@ -170,11 +170,17 @@ def derive_sample_size_outputs(res: Dict, *, target_power, atom) -> None:
 
 
 def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None):
+    from ..config import CONFIG
+
     total = n_sims
     cb = router.chunk_callback(sc.label, total)
-    # ~8 progress beats per scenario by default (each beat = one device
-    # dispatch; more beats = more host sync, fewer = coarser cancel).
-    chunk = chunk_size or max(256, -(-n_sims // 8))
+    # config-driven progress cadence (each beat = one device dispatch; more
+    # beats = finer progress/cancel, smaller per-dispatch batches). Raise
+    # simulation.progress_beats for long GLMM runs needing finer cancel.
+    sim_cfg = CONFIG["simulation"]
+    chunk = chunk_size or max(
+        sim_cfg["min_chunk_sims"], -(-n_sims // sim_cfg["progress_beats"])
+    )
     if devices is not None:
         from ..parallel.mesh import run_batch_sharded
 
