@@ -29,7 +29,11 @@ REPEATS = 3
 
 
 def _cases():
-    from mcpower_tpu.engine.spec import ClusterStatic, ScenarioStatic
+    from mcpower_tpu.engine.spec import (
+        ClusterStatic,
+        ScenarioStatic,
+        SlopeStatic,
+    )
 
     scen_on = ScenarioStatic(
         label="realistic",
@@ -83,6 +87,22 @@ def _cases():
     # grid-search case: one batch covering 8 Ns
     cases.append(
         ("ols_grid8", dict(base, grid=[60, 80, 100, 120, 140, 160, 180, 200]))
+    )
+    # random-slope arms (q=2 theta search) — on the frozen grid so a
+    # slope-path regression is flagged like any other arm (VERDICT r2 weak #4)
+    cl_slopes = ClusterStatic(
+        sizing_mode="fixed_clusters",
+        sizing_value=20,
+        tau_squared=0.25,
+        slopes=(SlopeStatic(design_col=1, variance=0.2, intercept_corr=0.3),),
+    )
+    cases.append(("lmm_slopes", dict(base, estimator="mle", cluster=cl_slopes)))
+    cases.append(
+        (
+            "glmm_slopes",
+            dict(base, estimator="glm", outcome="binary", cluster=cl_slopes,
+                 effects=np.array([-0.3, 0.3, 0.2])),
+        )
     )
     return cases
 
