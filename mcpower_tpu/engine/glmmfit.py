@@ -33,26 +33,24 @@ import numpy as np
 
 from . import smallchol, waldstats
 from .glmfit import MU_EPS, _deviance, _link_funcs
-from .mixedfit import BOUNDARY_LOG_GAMMA, LOG_GAMMA_HI, LOG_GAMMA_LO
+from .mixedfit import BOUNDARY_LOG_GAMMA, LOG_GAMMA_HI, LOG_GAMMA_LO, _INV_PHI
 from .spec import SimSpec
 
 N_PIRLS = 12
-# Two-phase k-section budget. While the bracket is WIDE each probe jumps
+# Two-phase golden budget. While the bracket is WIDE each evaluation jumps
 # log-tau2 by multiples, the carried (beta, u) is far from the new mode,
-# and an under-converged PIRLS can flip a deviance comparison — sectioning
-# discards intervals irrevocably, so early rounds get the full PIRLS
-# budget. After KSEC_FULL_GLMM rounds the bracket has shrunk to
-# 21 * (2/7)^3 ~ 0.49 in log-tau2; the carried mode is then a genuine warm
+# and an under-converged PIRLS can flip a deviance comparison — golden
+# section discards intervals irrevocably, so early decisions get the full
+# PIRLS budget. After GOLDEN_FULL iterations the bracket has shrunk to
+# 21 * phi^8 ~ 0.45 in log-tau2; the carried mode is then a genuine warm
 # start and N_PIRLS_WARM iterations re-converge it far below the
-# deviance-comparison noise floor. 10 total rounds bracket log-tau2 to
-# 21 * (2/7)^10 ~ 8e-5 — the same bracket the old 26-iteration golden
-# chain reached (21 * phi^26), at ~3x less sequential PIRLS depth (the
-# 6 probes per round run as one vmapped batch). The boundary probe and
-# the final fit keep the full budget.
+# deviance-comparison noise floor. 26 total golden iterations bracket
+# log-tau2 to 21 * phi^26 ~ 8e-5 — inside the 1e-3 variance-component
+# tolerance band (tolerances.R:41-47). Cold bracketing evals, the boundary
+# probe, and the final fit keep the full budget.
 N_PIRLS_WARM = 5
-KSEC_PROBES_GLMM = 6
-KSEC_FULL_GLMM = 3
-KSEC_ROUNDS_GLMM = 10
+GOLDEN_FULL = 8
+GOLDEN_ITERS_GLMM = 26
 
 _LOG_2PI = 1.8378770664093453
 
@@ -483,53 +481,49 @@ def _intercept_glmm_grid_stats(
             beta2, u2, _, _, lap = pirls32(tau2, beta, u, iters)
             return lap, beta2, u2
 
-        # k-section search with (beta, u) warm carry: each round evaluates
-        # KSEC_PROBES_GLMM log-tau2 probes as ONE vmapped batch (every probe
-        # PIRLS-started from the carried mode) and keeps the bracket around
-        # the best probe, whose (beta, u) becomes the next carry. Versus the
-        # golden-section chain, the sequential PIRLS depth drops ~3x for the
-        # same final bracket while the probes fill idle vector lanes — the
-        # GLMM arm is latency-bound (ARCHITECTURE.md profile). The search
-        # body runs at f32 state precision for the Laplace objective (the
-        # AGQ objective stays f64 — its logsumexp is its own elementwise
-        # pass); early wide-bracket rounds keep the full PIRLS budget, the
-        # refinement rounds re-converge the warm carry (same two-phase
-        # budget rationale as before — see N_PIRLS_WARM).
+        # Golden section with (beta, u) warm carry. Cold bracketing evals
+        # get the full PIRLS budget in f64; the search body runs at f32
+        # state precision for the Laplace objective (the AGQ objective
+        # stays f64 — its logsumexp is its own elementwise pass).
+        # A k-section variant (6 vmapped PIRLS probes per round, ~3x
+        # shallower sequential depth) was benchmarked on TPU and LOST ~1.4x
+        # at production batch sizes: with thousands of sims vmapped the
+        # PIRLS evaluation is throughput-bound, so extra probe lanes are
+        # paid-for work. Golden section minimizes total evaluations.
         search_f32 = nagq == 1
-        search_eval = dev_at32 if search_f32 else (
-            lambda x, bc, uc, it: dev_at(x, bc, uc, it)
-        )
+        search_eval = dev_at32 if search_f32 else dev_at
         a = jnp.float64(LOG_GAMMA_LO)
         b = jnp.float64(LOG_GAMMA_HI)
-        beta_c = beta0
-        u_c = jnp.zeros(m, jnp.float64)
+        x1 = b - _INV_PHI * (b - a)
+        x2 = a + _INV_PHI * (b - a)
+        f1, beta_c, u_c = dev_at(x1, beta0, jnp.zeros(m, jnp.float64), N_PIRLS)
+        f2, beta_c, u_c = dev_at(x2, beta_c, u_c, N_PIRLS)
         if search_f32:
             beta_c = beta_c.astype(jnp.float32)
             u_c = u_c.astype(jnp.float32)
-        kk = KSEC_PROBES_GLMM
-        fracs = jnp.arange(1, kk + 1, dtype=jnp.float64) / (kk + 1)
 
-        def make_round(iters):
-            def round_body(_, carry):
-                a, b, beta_c, u_c = carry
-                xs = a + fracs * (b - a)
-                fs, betas, us = jax.vmap(
-                    lambda x: search_eval(x, beta_c, u_c, iters)
-                )(xs)
-                j = jnp.argmin(fs)
-                jf = j.astype(jnp.float64)
-                w = (b - a) / (kk + 1)
-                return a + jf * w, a + (jf + 2.0) * w, betas[j], us[j]
+        def make_body(iters):
+            def body(_, carry):
+                a, b, x1, x2, f1, f2, beta_c, u_c = carry
+                keep_left = f1 < f2
+                a2 = jnp.where(keep_left, a, x1)
+                b2 = jnp.where(keep_left, x2, b)
+                x1n = b2 - _INV_PHI * (b2 - a2)
+                x2n = a2 + _INV_PHI * (b2 - a2)
+                x_eval = jnp.where(keep_left, x1n, x2n)
+                f_eval, beta_c, u_c = search_eval(x_eval, beta_c, u_c, iters)
+                x1o = jnp.where(keep_left, x_eval, x2)
+                f1o = jnp.where(keep_left, f_eval, f2)
+                x2o = jnp.where(keep_left, x1, x_eval)
+                f2o = jnp.where(keep_left, f1, f_eval)
+                return a2, b2, x1o, x2o, f1o, f2o, beta_c, u_c
 
-            return round_body
+            return body
 
-        carry = (a, b, beta_c, u_c)
-        carry = jax.lax.fori_loop(0, KSEC_FULL_GLMM, make_round(N_PIRLS), carry)
-        a, b, beta_c, u_c = jax.lax.fori_loop(
-            KSEC_FULL_GLMM,
-            KSEC_ROUNDS_GLMM,
-            make_round(N_PIRLS_WARM),
-            carry,
+        carry = (a, b, x1, x2, f1, f2, beta_c, u_c)
+        carry = jax.lax.fori_loop(0, GOLDEN_FULL, make_body(N_PIRLS), carry)
+        a, b, x1, x2, f1, f2, beta_c, u_c = jax.lax.fori_loop(
+            0, GOLDEN_ITERS_GLMM - GOLDEN_FULL, make_body(N_PIRLS_WARM), carry
         )
         log_tau2_hat = 0.5 * (a + b)
         if search_f32:

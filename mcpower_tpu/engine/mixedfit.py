@@ -46,18 +46,21 @@ import numpy as np
 from . import smallchol, waldstats
 from .spec import SimSpec
 
-# log-gamma search window and budgets.
+# log-gamma golden-section search window and iteration budget.
 LOG_GAMMA_LO = -14.0  # gamma ~ 8e-7: effectively singular
 LOG_GAMMA_HI = 7.0  # gamma ~ 1100: ICC 0.999
+# 36 iterations bracket log-gamma to 21*phi^36 ~ 6e-8 — gamma_hat relative
+# error ~3e-8, far inside the t^2 rtol 1e-6 parity gate (the tightest
+# consumer; tau^2 gates are 1e-3).
+# A k-section variant (6 vmapped probes/round, 14 rounds — shallower
+# sequential depth, more total evaluations) was benchmarked on TPU and
+# LOST ~2x at production batch sizes: with thousands of sims vmapped, the
+# deviance evaluation is THROUGHPUT-bound, not latency-bound, so the extra
+# probe lanes are paid-for work, not free lanes. Golden section is the
+# minimal-total-evaluation bracketing search; keep it.
+GOLDEN_ITERS = 36
 BOUNDARY_LOG_GAMMA = -12.0  # below this, report a boundary (singular) fit
-# k-section budgets: 14 rounds of 6 batched probes bracket log-gamma to
-# 21*(2/7)^14 ~ 5e-7 — the same final bracket the 36-iteration golden
-# search left (21*phi^36 ~ 6e-7), at 2.6x less SEQUENTIAL depth. The mixed
-# arms are latency-bound, not FLOPs-bound (ARCHITECTURE.md round-2/3
-# profile), so the 6 probes per round ride free in vmap lanes while the
-# round count is what wall-clock tracks.
-KSEC_PROBES = 6
-KSEC_ROUNDS = 14
+_INV_PHI = 0.6180339887498949
 
 
 def _cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int):
@@ -121,32 +124,33 @@ def _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, p):
     return dev, beta, chol, sigma2, rss
 
 
-def _ksection_minimize(dev_fn, lo: float, hi: float, rounds: int, k: int):
-    """Fixed-round k-section minimum for a unimodal scalar objective.
-
-    Each round evaluates k equally spaced interior probes as ONE vmapped
-    batch and keeps the bracket around the best probe — interval factor
-    2/(k+1) per round vs golden's phi per evaluation, so the SEQUENTIAL
-    dependency chain is ~2.6x shallower at k=6 for the same final bracket
-    while the extra probes fill otherwise-idle vector lanes. This is the
-    "k-section search" headroom item from the round-2 profile: the mixed
-    arms are latency/serialization-bound, so round count, not probe count,
-    is what wall-clock tracks.
-    """
+def _golden_minimize(dev_fn, lo: float, hi: float, iters: int):
+    """Fixed-iteration golden-section minimum: one NEW evaluation per
+    iteration (the classic value-carrying variant)."""
     a = jnp.float64(lo)
     b = jnp.float64(hi)
-    fracs = jnp.arange(1, k + 1, dtype=jnp.float64) / (k + 1)
+    x1 = b - _INV_PHI * (b - a)
+    x2 = a + _INV_PHI * (b - a)
+    f1 = dev_fn(x1)
+    f2 = dev_fn(x2)
 
     def body(_, carry):
-        a, b = carry
-        xs = a + fracs * (b - a)
-        fs = jax.vmap(dev_fn)(xs)
-        j = jnp.argmin(fs).astype(jnp.float64)
-        w = (b - a) / (k + 1)
-        # probe x_j = a + (j+1) w; new bracket [x_{j-1}, x_{j+1}]
-        return a + j * w, a + (j + 2.0) * w
+        a, b, x1, x2, f1, f2 = carry
+        keep_left = f1 < f2  # minimum in [a, x2]
+        a2 = jnp.where(keep_left, a, x1)
+        b2 = jnp.where(keep_left, x2, b)
+        x1_new = b2 - _INV_PHI * (b2 - a2)
+        x2_new = a2 + _INV_PHI * (b2 - a2)
+        # keep_left: new x2 == old x1 (value known); else new x1 == old x2.
+        x_eval = jnp.where(keep_left, x1_new, x2_new)
+        f_eval = dev_fn(x_eval)
+        x1o = jnp.where(keep_left, x_eval, x2)
+        f1o = jnp.where(keep_left, f_eval, f2)
+        x2o = jnp.where(keep_left, x1, x_eval)
+        f2o = jnp.where(keep_left, f1, f_eval)
+        return a2, b2, x1o, x2o, f1o, f2o
 
-    a, b = jax.lax.fori_loop(0, rounds, body, (a, b))
+    a, b, *_ = jax.lax.fori_loop(0, iters, body, (a, b, x1, x2, f1, f2))
     return 0.5 * (a + b)
 
 
@@ -536,8 +540,8 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
             dev, *_ = _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, pf)
             return dev
 
-        log_gamma_hat = _ksection_minimize(
-            dev_at, LOG_GAMMA_LO, LOG_GAMMA_HI, KSEC_ROUNDS, KSEC_PROBES
+        log_gamma_hat = _golden_minimize(
+            dev_at, LOG_GAMMA_LO, LOG_GAMMA_HI, GOLDEN_ITERS
         )
         # Boundary pinning: compare the interior optimum against gamma = 0
         # (exact OLS limit); REML deviance is continuous there.
