@@ -150,6 +150,18 @@ def cmd_app_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Local GUI host: browser shell over the AppSpec driver boundary."""
+    from .appspec.serve import serve
+
+    serve(
+        host=args.host,
+        port=args.port,
+        open_browser=not args.no_open,
+    )
+    return 0
+
+
 def _out_fh(args):
     if getattr(args, "_fh", None) is None:
         args._fh = open(args.out, "w") if args.out else sys.stdout
@@ -205,6 +217,15 @@ def main(argv=None) -> int:
     asrch.add_argument("--out", default=None)
     asrch.add_argument("--compact", action="store_true")
     asrch.set_defaults(fn=cmd_app_search)
+
+    srv = sub.add_parser(
+        "serve", help="local GUI host (browser app over the AppSpec boundary)"
+    )
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8321)
+    srv.add_argument("--no-open", action="store_true",
+                     help="do not open a browser tab")
+    srv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

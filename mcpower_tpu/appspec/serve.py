@@ -1,0 +1,155 @@
+"""Local GUI host: a stdlib HTTP server over the AppSpec driver boundary.
+
+The tpu-native counterpart of the reference's desktop-app shell
+(``/root/reference/ports/app/src-tauri`` — a Tauri webview whose Rust
+backend invokes engine-app-spec's ``run_find_power`` /
+``run_find_sample_size`` over IPC, ``crates/engine-app-spec/src/driver.rs``):
+here the shell is the user's browser, the IPC is loopback HTTP, and the
+backend verbs are the SAME two AppSpec driver operations the CLI host
+exposes. The GUI page (``static/app.html``) owns all widget state and
+builds the tagged AppSpec JSON document; this module only ever sees
+documents at the same boundary every other host uses — no widget state,
+no engine types.
+
+Endpoints (all JSON):
+
+* ``GET  /``            — the single-file GUI page.
+* ``GET  /api/health``  — ``{"ok": true, "version": ...}``.
+* ``POST /api/run``     — ``{"spec": <AppSpec doc>, "sample_size": N}`` ->
+  the driver payload ``{"result", "plots", "summary"}``.
+* ``POST /api/search``  — ``{"spec": ..., "from_size"?, "to_size"?, "by"?}``
+  -> the same payload shape for the sample-size search.
+
+Structural errors come back as ``400 {"error": {"path", "message"}}``
+(:class:`AppSpecError` keeps its field path); engine/validation errors as
+``400`` with the message; anything else is a 500. The server binds
+loopback only by default — it is a local application shell, not a service.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+from .types import AppSpecError
+
+_STATIC = Path(__file__).parent / "static"
+_MAX_BODY = 64 * 1024 * 1024  # uploaded CSV columns ride inside the doc
+
+_JOBS_LOCK = threading.Lock()  # one engine run at a time (single device)
+
+
+def _payload_for(body: Dict[str, Any]) -> Tuple[str, Dict[str, Any]]:
+    """Dispatch one API request body to the matching driver verb."""
+    from .driver import run_find_power, run_find_sample_size
+
+    if "spec" not in body:
+        raise AppSpecError("$.spec", "required field missing")
+    if "sample_size" in body:
+        n = body["sample_size"]
+        if not isinstance(n, int) or isinstance(n, bool) or n <= 0:
+            raise AppSpecError("$.sample_size", "expected a positive integer")
+        return "run", run_find_power(body["spec"], n)
+
+    def _opt_int(key: str) -> Optional[int]:
+        v = body.get(key)
+        if v is None:
+            return None
+        if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+            raise AppSpecError(f"$.{key}", "expected a positive integer")
+        return v
+
+    return "search", run_find_sample_size(
+        body["spec"],
+        from_size=_opt_int("from_size"),
+        to_size=_opt_int("to_size"),
+        by=body.get("by"),
+    )
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "mcpower-tpu-app"
+
+    def _send(self, code: int, payload: Dict[str, Any], ctype="application/json"):
+        data = (
+            json.dumps(payload).encode()
+            if ctype == "application/json"
+            else payload
+        )
+        self.send_response(code)
+        self.send_header("Content-Type", ctype + "; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        # Loopback app shell: forbid any cross-origin embedding/reads.
+        self.send_header("X-Content-Type-Options", "nosniff")
+        self.send_header("Referrer-Policy", "no-referrer")
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt, *args):  # quiet by default; errors still raise
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def do_GET(self):
+        if self.path in ("/", "/index.html"):
+            page = (_STATIC / "app.html").read_bytes()
+            self._send(200, page, ctype="text/html")
+        elif self.path == "/api/health":
+            self._send(200, {"ok": True, "host": "mcpower_tpu appspec serve"})
+        else:
+            self._send(404, {"error": {"message": f"no route {self.path}"}})
+
+    def do_POST(self):
+        if self.path not in ("/api/run", "/api/search"):
+            self._send(404, {"error": {"message": f"no route {self.path}"}})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if not 0 < length <= _MAX_BODY:
+                raise AppSpecError("$", f"body length {length} out of range")
+            body = json.loads(self.rfile.read(length))
+            if not isinstance(body, dict):
+                raise AppSpecError("$", "expected a JSON object")
+            verb = "run" if self.path == "/api/run" else "search"
+            if verb == "search" and "sample_size" in body:
+                raise AppSpecError(
+                    "$.sample_size", "not a /api/search field (use /api/run)"
+                )
+            if verb == "run" and "sample_size" not in body:
+                raise AppSpecError("$.sample_size", "required field missing")
+            with _JOBS_LOCK:
+                _, payload = _payload_for(body)
+            self._send(200, payload)
+        except AppSpecError as e:
+            self._send(400, {"error": {"path": e.path, "message": e.reason}})
+        except (ValueError, KeyError) as e:
+            self._send(400, {"error": {"message": str(e)}})
+        except Exception as e:  # engine/internal
+            self._send(500, {"error": {"message": f"{type(e).__name__}: {e}"}})
+
+
+def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (without running) the app server; port 0 = ephemeral."""
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def serve(host: str = "127.0.0.1", port: int = 8321, *, open_browser=True,
+          verbose=True) -> None:
+    """Run the GUI host until interrupted."""
+    httpd = make_server(host, port)
+    httpd.verbose = verbose
+    url = f"http://{host}:{httpd.server_address[1]}/"
+    if verbose:
+        print(f"MCPower app at {url}  (Ctrl-C to stop)")
+    if open_browser:
+        import webbrowser
+
+        threading.Timer(0.3, webbrowser.open, (url,)).start()
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

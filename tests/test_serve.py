@@ -1,0 +1,130 @@
+"""GUI host (appspec serve) boundary tests.
+
+Drives the loopback HTTP server the browser app talks to — the same
+host-shell boundary the reference's desktop app exercises over Tauri IPC
+(/root/reference/ports/app/src-tauri, crates/engine-app-spec/src/driver.rs):
+documents in, driver payloads out, structural errors with field paths.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from mcpower_tpu.appspec.serve import make_server
+
+
+def _doc(**over):
+    doc = {
+        "family": "linear",
+        "parsed_formula": {
+            "outcome": "y",
+            "predictors": ["x1", "x2"],
+            "interaction_terms": [],
+        },
+        "var_types": [
+            {"kind": "numeric", "name": "x1"},
+            {"kind": "binary", "name": "x2", "binary_proportion": 0.4},
+        ],
+        "effects": [
+            {"name": "x1", "value": 0.4},
+            {"name": "x2", "value": 0.3},
+        ],
+        "correlations": None,
+        "alpha": 0.05,
+        "target_power": 0.8,
+        "n_sims": 150,
+        "seed": 11,
+        "tests": {"kind": "all"},
+        "correction": "none",
+        "csv": None,
+    }
+    doc.update(over)
+    return doc
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    httpd = make_server(port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_page(server_url):
+    with urllib.request.urlopen(server_url + "/api/health", timeout=30) as r:
+        assert json.loads(r.read())["ok"] is True
+    with urllib.request.urlopen(server_url + "/", timeout=30) as r:
+        page = r.read().decode()
+    assert "MCPower" in page and "buildSpec" in page
+    with urllib.request.urlopen(server_url + "/", timeout=30) as r:
+        assert "text/html" in r.headers["Content-Type"]
+
+
+def test_run_verb_returns_driver_payload(server_url):
+    code, payload = _post(
+        server_url, "/api/run", {"spec": _doc(), "sample_size": 200}
+    )
+    assert code == 200
+    assert set(payload) == {"result", "plots", "summary"}
+    res = payload["result"]
+    assert res["sample_sizes"] == [200]
+    p_x1 = res["powers"]["uncorrected"][0][0]
+    assert 0.5 < p_x1 <= 1.0
+    assert "x1" in payload["summary"]
+
+
+def test_search_verb_returns_driver_payload(server_url):
+    code, payload = _post(
+        server_url,
+        "/api/search",
+        {"spec": _doc(), "from_size": 50, "to_size": 300},
+    )
+    assert code == 200
+    res = payload["result"]
+    assert len(res["sample_sizes"]) > 1
+    assert "fitted" in res
+
+
+def test_structural_error_keeps_field_path(server_url):
+    bad = _doc()
+    del bad["alpha"]
+    code, payload = _post(server_url, "/api/run", {"spec": bad, "sample_size": 100})
+    assert code == 400
+    assert "alpha" in payload["error"]["path"]
+
+
+def test_missing_sample_size_is_400(server_url):
+    code, payload = _post(server_url, "/api/run", {"spec": _doc()})
+    assert code == 400
+    assert "sample_size" in payload["error"]["path"]
+
+
+def test_sample_size_on_search_is_400(server_url):
+    code, payload = _post(
+        server_url, "/api/search", {"spec": _doc(), "sample_size": 100}
+    )
+    assert code == 400
+
+
+def test_unknown_route_404(server_url):
+    code, payload = _post(server_url, "/api/nope", {})
+    assert code == 404
