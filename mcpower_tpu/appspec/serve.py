@@ -105,6 +105,20 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path not in ("/api/run", "/api/search"):
             self._send(404, {"error": {"message": f"no route {self.path}"}})
             return
+        # A non-local page can fire cross-origin POSTs at loopback (it
+        # cannot read the response, but it could drive engine runs) —
+        # accept only same-origin/absent Origin headers.
+        origin = self.headers.get("Origin")
+        if origin is not None:
+            try:
+                from urllib.parse import urlsplit
+
+                ohost = urlsplit(origin).hostname
+            except ValueError:
+                ohost = None
+            if ohost not in ("127.0.0.1", "localhost", "::1"):
+                self._send(403, {"error": {"message": "cross-origin request"}})
+                return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             if not 0 < length <= _MAX_BODY:

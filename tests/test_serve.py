@@ -128,3 +128,29 @@ def test_sample_size_on_search_is_400(server_url):
 def test_unknown_route_404(server_url):
     code, payload = _post(server_url, "/api/nope", {})
     assert code == 404
+
+
+def test_cross_origin_post_rejected(server_url):
+    req = urllib.request.Request(
+        server_url + "/api/run",
+        data=json.dumps({"spec": _doc(), "sample_size": 100}).encode(),
+        headers={
+            "Content-Type": "application/json",
+            "Origin": "https://evil.example",
+        },
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 403
+
+
+def test_same_origin_post_accepted(server_url):
+    req = urllib.request.Request(
+        server_url + "/api/run",
+        data=json.dumps({"spec": _doc(), "sample_size": 100}).encode(),
+        headers={"Content-Type": "application/json", "Origin": server_url},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.status == 200
