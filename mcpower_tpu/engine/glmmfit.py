@@ -33,24 +33,30 @@ import numpy as np
 
 from . import smallchol, waldstats
 from .glmfit import MU_EPS, _deviance, _link_funcs
-from .mixedfit import BOUNDARY_LOG_GAMMA, LOG_GAMMA_HI, LOG_GAMMA_LO, _INV_PHI
+from .mixedfit import (
+    BOUNDARY_LOG_GAMMA,
+    LOG_GAMMA_HI,
+    LOG_GAMMA_LO,
+    _brent_minimize,
+)
 from .spec import SimSpec
 
 N_PIRLS = 12
-# Two-phase golden budget. While the bracket is WIDE each evaluation jumps
+# Two-phase Brent budget. While the bracket is WIDE each evaluation jumps
 # log-tau2 by multiples, the carried (beta, u) is far from the new mode,
-# and an under-converged PIRLS can flip a deviance comparison — golden
-# section discards intervals irrevocably, so early decisions get the full
-# PIRLS budget. After GOLDEN_FULL iterations the bracket has shrunk to
-# 21 * phi^8 ~ 0.45 in log-tau2; the carried mode is then a genuine warm
-# start and N_PIRLS_WARM iterations re-converge it far below the
-# deviance-comparison noise floor. 26 total golden iterations bracket
-# log-tau2 to 21 * phi^26 ~ 8e-5 — inside the 1e-3 variance-component
-# tolerance band (tolerances.R:41-47). Cold bracketing evals, the boundary
-# probe, and the final fit keep the full budget.
+# and an under-converged PIRLS can flip a deviance comparison — the search
+# discards intervals irrevocably, so early decisions get the full PIRLS
+# budget. After BRENT_FULL_GLMM iterations the parabolic steps have
+# collapsed onto the optimum's neighborhood; the carried mode is then a
+# genuine warm start and N_PIRLS_WARM iterations re-converge it far below
+# the deviance-comparison noise floor. On smooth interior Laplace optima
+# ~10 Brent evaluations position log-tau2 to ~1e-7 (tests/test_brent.py),
+# well inside the 1e-3 variance-component tolerance band
+# (tolerances.R:41-47); 14 leaves margin. The cold starting eval, the
+# boundary probe, and the final fit keep the full budget.
 N_PIRLS_WARM = 5
-GOLDEN_FULL = 8
-GOLDEN_ITERS_GLMM = 26
+BRENT_FULL_GLMM = 6
+BRENT_ITERS_GLMM = 14
 
 _LOG_2PI = 1.8378770664093453
 
@@ -481,51 +487,45 @@ def _intercept_glmm_grid_stats(
             beta2, u2, _, _, lap = pirls32(tau2, beta, u, iters)
             return lap, beta2, u2
 
-        # Golden section with (beta, u) warm carry. Cold bracketing evals
-        # get the full PIRLS budget in f64; the search body runs at f32
-        # state precision for the Laplace objective (the AGQ objective
-        # stays f64 — its logsumexp is its own elementwise pass).
-        # A k-section variant (6 vmapped PIRLS probes per round, ~3x
-        # shallower sequential depth) was benchmarked on TPU and LOST ~1.4x
-        # at production batch sizes: with thousands of sims vmapped the
-        # PIRLS evaluation is throughput-bound, so extra probe lanes are
-        # paid-for work. Golden section minimizes total evaluations.
+        # Brent (safeguarded parabolic) search with (beta, u) warm carry.
+        # The cold starting eval gets the full PIRLS budget in f64; the
+        # search body runs at f32 state precision for the Laplace
+        # objective (the AGQ objective stays f64 — its logsumexp is its
+        # own elementwise pass). The regime is THROUGHPUT-bound (a
+        # k-section variant with 6 vmapped probes per round LOST ~1.4x on
+        # TPU — extra probe lanes are paid-for work, see ARCHITECTURE.md),
+        # so total evaluations is the wall-clock: Brent's superlinear
+        # steps position the optimum as well as golden section's 26
+        # evaluations did in ~half. The parabolic steps also shrink monotonically near
+        # the optimum, so the warm carry's (beta, u) is BETTER conditioned
+        # than under golden's alternating-side probes.
         search_f32 = nagq == 1
         search_eval = dev_at32 if search_f32 else dev_at
-        a = jnp.float64(LOG_GAMMA_LO)
-        b = jnp.float64(LOG_GAMMA_HI)
-        x1 = b - _INV_PHI * (b - a)
-        x2 = a + _INV_PHI * (b - a)
-        f1, beta_c, u_c = dev_at(x1, beta0, jnp.zeros(m, jnp.float64), N_PIRLS)
-        f2, beta_c, u_c = dev_at(x2, beta_c, u_c, N_PIRLS)
-        if search_f32:
-            beta_c = beta_c.astype(jnp.float32)
-            u_c = u_c.astype(jnp.float32)
 
-        def make_body(iters):
-            def body(_, carry):
-                a, b, x1, x2, f1, f2, beta_c, u_c = carry
-                keep_left = f1 < f2
-                a2 = jnp.where(keep_left, a, x1)
-                b2 = jnp.where(keep_left, x2, b)
-                x1n = b2 - _INV_PHI * (b2 - a2)
-                x2n = a2 + _INV_PHI * (b2 - a2)
-                x_eval = jnp.where(keep_left, x1n, x2n)
-                f_eval, beta_c, u_c = search_eval(x_eval, beta_c, u_c, iters)
-                x1o = jnp.where(keep_left, x_eval, x2)
-                f1o = jnp.where(keep_left, f_eval, f2)
-                x2o = jnp.where(keep_left, x1, x_eval)
-                f2o = jnp.where(keep_left, f1, f_eval)
-                return a2, b2, x1o, x2o, f1o, f2o, beta_c, u_c
+        def init_eval(x, _carry):
+            f, b2, u2 = dev_at(x, beta0, jnp.zeros(m, jnp.float64), N_PIRLS)
+            if search_f32:
+                b2 = b2.astype(jnp.float32)
+                u2 = u2.astype(jnp.float32)
+            return f, (b2, u2)
 
-            return body
+        def make_eval(iters):
+            def ev(x, carry):
+                f, b2, u2 = search_eval(x, carry[0], carry[1], iters)
+                return f, (b2, u2)
 
-        carry = (a, b, x1, x2, f1, f2, beta_c, u_c)
-        carry = jax.lax.fori_loop(0, GOLDEN_FULL, make_body(N_PIRLS), carry)
-        a, b, x1, x2, f1, f2, beta_c, u_c = jax.lax.fori_loop(
-            0, GOLDEN_ITERS_GLMM - GOLDEN_FULL, make_body(N_PIRLS_WARM), carry
+            return ev
+
+        log_tau2_hat, _, (beta_c, u_c) = _brent_minimize(
+            LOG_GAMMA_LO,
+            LOG_GAMMA_HI,
+            (None, None),
+            (
+                (BRENT_FULL_GLMM, make_eval(N_PIRLS)),
+                (BRENT_ITERS_GLMM - BRENT_FULL_GLMM, make_eval(N_PIRLS_WARM)),
+            ),
+            init_eval=init_eval,
         )
-        log_tau2_hat = 0.5 * (a + b)
         if search_f32:
             beta_c = beta_c.astype(jnp.float64)
             u_c = u_c.astype(jnp.float64)

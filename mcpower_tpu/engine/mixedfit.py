@@ -46,19 +46,21 @@ import numpy as np
 from . import smallchol, waldstats
 from .spec import SimSpec
 
-# log-gamma golden-section search window and iteration budget.
+# log-gamma search window and iteration budget.
 LOG_GAMMA_LO = -14.0  # gamma ~ 8e-7: effectively singular
 LOG_GAMMA_HI = 7.0  # gamma ~ 1100: ICC 0.999
-# 36 iterations bracket log-gamma to 21*phi^36 ~ 6e-8 — gamma_hat relative
-# error ~3e-8, far inside the t^2 rtol 1e-6 parity gate (the tightest
-# consumer; tau^2 gates are 1e-3).
-# A k-section variant (6 vmapped probes/round, 14 rounds — shallower
-# sequential depth, more total evaluations) was benchmarked on TPU and
-# LOST ~2x at production batch sizes: with thousands of sims vmapped, the
-# deviance evaluation is THROUGHPUT-bound, not latency-bound, so the extra
-# probe lanes are paid-for work, not free lanes. Golden section is the
-# minimal-total-evaluation bracketing search; keep it.
-GOLDEN_ITERS = 36
+# Brent (safeguarded parabolic) search budget. On smooth interior REML
+# optima the parabolic steps converge to ~1e-7 in log-gamma within ~10
+# evaluations (stress family in tests/test_brent.py); 20 leaves margin.
+# The regime is THROUGHPUT-bound (see the k-section postmortem in
+# ARCHITECTURE.md: extra vmapped probe lanes LOST on TPU because every
+# probe is paid-for work), so minimizing TOTAL evaluations is the whole
+# game — Brent needs ~half of golden section's 36. Lanes whose optimum
+# sits at a wall degrade to golden-rate walks (~1e-3 positioning at 20
+# iters), which is exactly the singular-fit set the explicit gamma = 0
+# boundary probe below re-decides.
+BRENT_ITERS = 20
+GOLDEN_ITERS = 36  # kept for reference/tests of the fallback search
 BOUNDARY_LOG_GAMMA = -12.0  # below this, report a boundary (singular) fit
 _INV_PHI = 0.6180339887498949
 
@@ -152,6 +154,106 @@ def _golden_minimize(dev_fn, lo: float, hi: float, iters: int):
 
     a, b, *_ = jax.lax.fori_loop(0, iters, body, (a, b, x1, x2, f1, f2))
     return 0.5 * (a + b)
+
+
+_CGOLD = 0.3819660112501051  # 2 - phi: golden fraction into the larger arm
+
+
+def _brent_minimize(lo, hi, aux0, phases, init_eval=None, tol=1e-9):
+    """Fixed-iteration safeguarded parabolic minimization (Brent's method).
+
+    The successive-parabolic-interpolation step converges superlinearly
+    (order ~1.32) on the smooth unimodal deviances the variance searches
+    minimize, so it reaches the parity-gate tolerance in roughly half the
+    evaluations golden section needs — and in the measured
+    THROUGHPUT-bound regime (see the k-section postmortem above), total
+    evaluations IS the wall-clock. Every step is safeguarded exactly as in
+    Brent's algorithm: a parabolic step is taken only when it lands inside
+    the bracket and moves less than half the step before last; otherwise
+    the iteration is a plain golden step into the larger arm, so the
+    fallback behavior is golden section and monotone bracket shrinkage is
+    preserved. Branch-free (`jnp.where` lanes) so it vmaps across sims.
+
+    ``phases`` is a tuple of ``(n_iters, eval_fn)`` with
+    ``eval_fn(x, aux) -> (f, aux)`` — the aux thread carries warm-start
+    state (the GLMM (beta, u) mode) between evaluations, and multiple
+    phases express budget schedules (full PIRLS while the bracket is
+    wide, warm refinement after). ``init_eval`` evaluates the single cold
+    starting point (defaults to the first phase's evaluator).
+
+    Returns ``(x_best, f_best, aux)`` — the best EVALUATED point, not the
+    bracket midpoint.
+    """
+    a = jnp.float64(lo)
+    b = jnp.float64(hi)
+    x0 = a + _CGOLD * (b - a)
+    fx, aux = (init_eval or phases[0][1])(x0, aux0)
+    zero = jnp.float64(0.0)
+
+    def make_body(eval_fn):
+        def body(_, carry):
+            a, b, x, w, v, fx, fw, fv, d, e, aux = carry
+            xm = 0.5 * (a + b)
+            tol1 = tol * jnp.abs(x) + 1e-13
+            tol2 = 2.0 * tol1
+            # Trial parabola through (x,fx), (w,fw), (v,fv).
+            r = (x - w) * (fx - fv)
+            q = (x - v) * (fx - fw)
+            p = (x - v) * q - (x - w) * r
+            q = 2.0 * (q - r)
+            p = jnp.where(q > 0.0, -p, p)
+            q = jnp.abs(q)
+            # Golden step into the larger arm (the unconditional fallback).
+            e_gold = jnp.where(x >= xm, a - x, b - x)
+            d_gold = _CGOLD * e_gold
+            para_ok = (
+                (jnp.abs(e) > tol1)
+                & (q > 0.0)
+                & (jnp.abs(p) < jnp.abs(0.5 * q * e))
+                & (p > q * (a - x))
+                & (p < q * (b - x))
+            )
+            d_para = p / jnp.where(q == 0.0, 1.0, q)
+            u_try = x + d_para
+            # Keep parabolic landings off the walls.
+            d_para = jnp.where(
+                (u_try - a < tol2) | (b - u_try < tol2),
+                jnp.where(xm >= x, tol1, -tol1),
+                d_para,
+            )
+            e2 = jnp.where(para_ok, d, e_gold)
+            d2 = jnp.where(para_ok, d_para, d_gold)
+            u = x + jnp.where(
+                jnp.abs(d2) >= tol1, d2, jnp.where(d2 >= 0.0, tol1, -tol1)
+            )
+            fu, aux = eval_fn(u, aux)
+            better = fu <= fx
+            a2 = jnp.where(
+                better, jnp.where(u >= x, x, a), jnp.where(u < x, u, a)
+            )
+            b2 = jnp.where(
+                better, jnp.where(u >= x, b, x), jnp.where(u < x, b, u)
+            )
+            demote_w = (~better) & ((fu <= fw) | (w == x))
+            demote_v = (~better) & (~demote_w) & (
+                (fu <= fv) | (v == x) | (v == w)
+            )
+            v2 = jnp.where(better | demote_w, w, jnp.where(demote_v, u, v))
+            fv2 = jnp.where(
+                better | demote_w, fw, jnp.where(demote_v, fu, fv)
+            )
+            w2 = jnp.where(better, x, jnp.where(demote_w, u, w))
+            fw2 = jnp.where(better, fx, jnp.where(demote_w, fu, fw))
+            x2 = jnp.where(better, u, x)
+            fx2 = jnp.where(better, fu, fx)
+            return a2, b2, x2, w2, v2, fx2, fw2, fv2, d2, e2, aux
+
+        return body
+
+    carry = (a, b, x0, x0, x0, fx, fx, fx, zero, zero, aux)
+    for n_iters, eval_fn in phases:
+        carry = jax.lax.fori_loop(0, n_iters, make_body(eval_fn), carry)
+    return carry[2], carry[5], carry[10]
 
 
 def _slope_cluster_suffstats(spec: SimSpec, Xf, yf, ids, m: int, q: int, Zf):
@@ -540,8 +642,11 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
             dev, *_ = _reml_quantities(gamma, n_j, s, t, xtx, xty, yty, n, pf)
             return dev
 
-        log_gamma_hat = _golden_minimize(
-            dev_at, LOG_GAMMA_LO, LOG_GAMMA_HI, GOLDEN_ITERS
+        log_gamma_hat, _, _ = _brent_minimize(
+            LOG_GAMMA_LO,
+            LOG_GAMMA_HI,
+            (),
+            ((BRENT_ITERS, lambda lg, aux: (dev_at(lg), aux)),),
         )
         # Boundary pinning: compare the interior optimum against gamma = 0
         # (exact OLS limit); REML deviance is continuous there.
