@@ -77,10 +77,20 @@ def _loglik_rows(outcome: str, link: str, y, eta):
 
 
 # Slope-path budgets: Nelder-Mead over theta = vech chol(D) with a
-# fixed-iteration PIRLS inner solve per evaluation (cold-started — NM
-# evaluates several candidates per step, so there is no single carry).
+# fixed-iteration PIRLS inner solve per evaluation. The search threads
+# one (beta, v) mode through the iterations (optim.nelder_mead_carry):
+# all four candidates of an NM step start from the accepted mode of the
+# previous step. While the simplex is WIDE, candidates sit far from the
+# carried mode and get the full PIRLS budget; after NM_FULL_SLOPE steps
+# the simplex has contracted around the optimum, the carry is a genuine
+# warm start, and N_PIRLS_SLOPE_WARM iterations re-converge it below the
+# f64 deviance-comparison noise floor — the slope-path analogue of the
+# intercept search's two-phase schedule. The truth-started init simplex
+# and the final accepted fit keep the full budget.
 N_PIRLS_SLOPE = 8
+N_PIRLS_SLOPE_WARM = 3
 NM_ITERS_GLMM = 45
+NM_FULL_SLOPE = 12
 
 
 def glmm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
@@ -110,8 +120,9 @@ def _slope_glmm_grid_stats(
     Laplace deviance at the mode:
         dev = dev_cond + sum_i |v_i|^2 + sum_i log det C_i.
     The outer theta search is the batched fixed-iteration Nelder-Mead
-    (engine.optim), truth-started at vech chol(D_true); AGQ is
-    intercept-only (lme4 parity), so nagq is ignored here.
+    with a warm-carried (beta, v) mode and two-phase PIRLS budgets
+    (engine.optim.nelder_mead_carry), truth-started at vech chol(D_true);
+    AGQ is intercept-only (lme4 parity), so nagq is ignored here.
     """
     from . import optim
     from .mixedfit import _vech_to_lower
@@ -197,9 +208,7 @@ def _slope_glmm_grid_stats(
             )
             eye_qd = jnp.eye(q, dtype=dtype)
 
-            def pirls(Lam, beta, v, iters):
-                Ld = Lam.astype(dtype)
-
+            def loop(Ld, beta, v, iters):
                 def body(_, carry):
                     beta, v = carry
                     u = (v[:, None, :] * Ld[None, :, :]).sum(-1)  # v @ Ld.T
@@ -245,7 +254,10 @@ def _slope_glmm_grid_stats(
                         jnp.where(ok, v_new, v),
                     )
 
-                beta, v = jax.lax.fori_loop(0, iters, body, (beta, v))
+                return jax.lax.fori_loop(0, iters, body, (beta, v))
+
+            def pirls(Lam, beta, v, iters):
+                beta, v = loop(Lam.astype(dtype), beta, v, iters)
 
                 # Mode-state quantities in f64 (weights/logdet/Schur).
                 beta = beta.astype(jnp.float64)
@@ -283,21 +295,59 @@ def _slope_glmm_grid_stats(
                 )
                 return beta, v, laplace, a_xx
 
-            return pirls
+            return loop, pirls
 
-        pirls = make_pirls(jnp.float64)
-        pirls32 = make_pirls(jnp.float32)
+        _, pirls = make_pirls(jnp.float64)
+        loop32, _ = make_pirls(jnp.float32)
         v0 = jnp.zeros((m, q), jnp.float64)
         v0_32 = jnp.zeros((m, q), jnp.float32)
         beta0_32 = beta0.astype(jnp.float32)
 
-        def dev_at(theta):
+        # Search-phase evaluator: f32 PIRLS state from the CARRIED mode,
+        # f64 deviance from the final state (comparisons stay f64, as on
+        # the intercept path), but WITHOUT the (m,q,p) Schur-block work —
+        # the search only consumes the deviance, so At/sol_A/a_xx (the
+        # most expensive per-eval contractions after the PIRLS chain
+        # itself) are computed once at the accepted optimum, not ~4x per
+        # Nelder-Mead iteration.
+        def search_eval(theta, carry, iters):
             Lam = _vech_to_lower(theta, q)
-            _, _, lap, _ = pirls32(Lam, beta0_32, v0_32, N_PIRLS_SLOPE)
-            return jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30))
+            beta, v = loop32(Lam.astype(jnp.float32), carry[0], carry[1], iters)
 
-        theta_hat, _ = optim.nelder_mead(
-            dev_at, theta0, iters=NM_ITERS_GLMM, init_step=0.2, lower=lower
+            # Deviance-only f64 pass at the final mode.
+            beta64 = beta.astype(jnp.float64)
+            v64 = v.astype(jnp.float64)
+            u = (v64[:, None, :] * Lam[None, :, :]).sum(-1)
+            eta = smallchol.rowmv(Xf, beta64) + jnp.einsum(
+                "nq,nq->n", Zf, rows_of(u)
+            )
+            mu, var, dmu = mu_var_dmu(eta)
+            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+            wZ = Zf * w[:, None]
+            G = seg_rows(wZ[:, :, None] * Zf[:, None, :])
+            LtG = (Lam[None, :, :, None] * G[:, :, None, :]).sum(1)
+            C = eye_q[None] + (
+                LtG[:, :, :, None] * Lam[None, None, :, :]
+            ).sum(2)
+            cholC = smallchol.chol(C)
+            lap = (
+                _deviance(spec.outcome, yf, mu, mask)
+                + jnp.sum(v64 * v64)
+                + jnp.sum(smallchol.logdet_from_chol(cholC))
+            )
+            lap = jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30))
+            return lap, (beta, v)
+
+        theta_hat, _, _ = optim.nelder_mead_carry(
+            search_eval,
+            theta0,
+            (beta0_32, v0_32),
+            phases=(
+                (NM_FULL_SLOPE, N_PIRLS_SLOPE),
+                (NM_ITERS_GLMM - NM_FULL_SLOPE, N_PIRLS_SLOPE_WARM),
+            ),
+            init_step=0.2,
+            lower=lower,
         )
         Lam = _vech_to_lower(theta_hat, q)
         beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)

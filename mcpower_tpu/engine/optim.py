@@ -101,3 +101,92 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
     verts, fvals = jax.lax.fori_loop(0, iters, body, (verts, fvals))
     i_best = jnp.argmin(fvals)
     return verts[i_best], fvals[i_best]
+
+
+def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None):
+    """Nelder-Mead with a warm-start aux thread and phased eval budgets.
+
+    For objectives whose evaluation is itself an iterative solver (the
+    GLMM slope path: every deviance is a PIRLS chain), a cold solve per
+    candidate wastes most of the chain re-deriving a mode the previous
+    iteration already found. This variant threads solver state through
+    the search: ``f(x, aux, budget) -> (fval, aux_out)`` — all candidates
+    of an iteration start from the SAME carried aux (broadcast into the
+    4-lane vmapped evaluation), and the accepted candidate's aux_out
+    becomes the next iteration's start. ``phases`` is a tuple of
+    ``(n_iters, budget)``: early iterations (large simplex, candidates
+    far from the carried mode) keep the full solver budget; once the
+    simplex has contracted the carried mode is a genuine warm start and
+    a reduced budget re-converges it below the comparison noise floor —
+    the same two-phase schedule the intercept searches use.
+
+    The candidate-selection logic is identical to :func:`nelder_mead`
+    (batched 4-candidate evaluation, no shrink step).
+
+    Returns ``(x_best, f_best, aux)`` where ``aux`` is the final carry.
+    """
+    d = x0.shape[-1]
+    dtype = x0.dtype
+
+    def clip(x):
+        return x if lower is None else jnp.maximum(x, lower)
+
+    first_budget = phases[0][1]
+    verts = jnp.concatenate(
+        [x0[None, :], x0[None, :] + init_step * jnp.eye(d, dtype=dtype)], axis=0
+    )
+    verts = clip(verts)
+    fvals, auxs = jax.vmap(lambda x: f(x, aux0, first_budget))(verts)
+    aux = jax.tree_util.tree_map(
+        lambda a: a[jnp.argmin(fvals)], auxs
+    )  # best vertex's solver state seeds the carry
+
+    alpha, gamma, rho = 1.0, 2.0, 0.5
+
+    def make_body(budget):
+        def body(_, carry):
+            verts, fvals, aux = carry
+            order = jnp.argsort(fvals)
+            verts = verts[order]
+            fvals = fvals[order]
+            worst, second = verts[-1], fvals[-2]
+            f_best, f_worst = fvals[0], fvals[-1]
+
+            centroid = jnp.mean(verts[:-1], axis=0)
+            xr = clip(centroid + alpha * (centroid - worst))
+            xe = clip(centroid + gamma * (xr - centroid))
+            xc_out = clip(centroid + rho * (xr - centroid))
+            xc_in = clip(centroid - rho * (centroid - worst))
+            cands = jnp.stack([xr, xe, xc_out, xc_in])
+            fc, auxc = jax.vmap(lambda x: f(x, aux, budget))(cands)
+            fr, fe, fc_out, fc_in = fc
+
+            use_expand = (fr < f_best) & (fe < fr)
+            use_reflect = (fr < second) & ~use_expand | (
+                (fr < f_best) & ~(fe < fr)
+            )
+            use_cout = (
+                (~use_expand) & (~use_reflect) & (fr < f_worst) & (fc_out <= fr)
+            )
+            idx = jnp.where(
+                use_expand,
+                1,
+                jnp.where(use_reflect, 0, jnp.where(use_cout, 2, 3)),
+            )
+            replaced = cands[idx]
+            f_replaced = fc[idx]
+            aux2 = jax.tree_util.tree_map(lambda a: a[idx], auxc)
+            return (
+                verts.at[-1].set(replaced),
+                fvals.at[-1].set(f_replaced),
+                aux2,
+            )
+
+        return body
+
+    carry = (verts, fvals, aux)
+    for n_iters, budget in phases:
+        carry = jax.lax.fori_loop(0, n_iters, make_body(budget), carry)
+    verts, fvals, aux = carry
+    i_best = jnp.argmin(fvals)
+    return verts[i_best], fvals[i_best], aux
