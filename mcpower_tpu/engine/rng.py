@@ -284,10 +284,22 @@ def norm_ppf(p, dtype=None):
     else:
         tiny, top = 1e-38, 1.0 - 6e-8
     pc = jnp.clip(p, jnp.asarray(tiny, dtype), jnp.asarray(top, dtype))
-    lo = _acklam_tail(pc, dtype)
-    hi = -_acklam_tail(jnp.asarray(1.0, dtype) - pc, dtype)
+    # One tail evaluation serves both tails: for p < 0.5 the lower-tail
+    # rational is evaluated at p, for p > 0.5 at 1-p with the sign
+    # flipped — identical values to evaluating each tail separately
+    # (the rational is the same function of the same argument), at half
+    # the log/sqrt transcendental budget per draw. The generation path
+    # evaluates this for every normal, so the saving is hot.
+    one = jnp.asarray(1.0, dtype)
+    q = jnp.where(pc < 0.5, pc, one - pc)
+    t = _acklam_tail(q, dtype)
+    tail = jnp.where(pc < 0.5, t, -t)
     mid = _acklam_central(pc - jnp.asarray(0.5, dtype), dtype)
-    x = jnp.where(pc < _P_LOW, lo, jnp.where(pc > 1.0 - _P_LOW, hi, mid))
+    # thresholds as python floats, exactly as the two-call form compared
+    # them (1.0 - _P_LOW rounds differently than one - jnp(_P_LOW) by an
+    # ULP in f32; keep the historical boundary bit-for-bit)
+    in_tail = (pc < _P_LOW) | (pc > 1.0 - _P_LOW)
+    x = jnp.where(in_tail, tail, mid)
     if dtype == jnp.float64:
         # Halley step: e = Phi(x) - p computed through erfc for tail accuracy.
         sqrt2pi = jnp.asarray(2.5066282746310002, dtype)
