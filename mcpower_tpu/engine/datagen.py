@@ -181,8 +181,7 @@ def _unit_residual_draws(
     sqrt((df-2)/df), chi2(df) centered/scaled by 1/sqrt(2 df), LeftSkewed
     sign-flipped, uniform U(-sqrt3, sqrt3).
     """
-    rows = jnp.arange(row_offset, row_offset + n)
-    w0 = rng.raw_words(key, rng.CLASS_RESID, column_base, rows)[0]
+    w0 = rng.fill_raw(key, rng.CLASS_RESID, column_base, row_offset, row_offset + n)
     u = rng.u32_to_open_uniform(w0)
     z = rng.norm_ppf_f32(u)
 
@@ -190,7 +189,9 @@ def _unit_residual_draws(
     df_int = max(int(round(df)), 1)
     chi2 = jnp.zeros(n, dtype=jnp.float32)
     for s in range(df_int):
-        g = rng.normal(key, rng.CLASS_RESID, column_base + 1 + s, rows)
+        g = rng.normal_fill(
+            key, rng.CLASS_RESID, column_base + 1 + s, row_offset, row_offset + n
+        )
         chi2 = chi2 + g * g
 
     t_scale = jnp.float32(1.0 / np.sqrt(df / (df - 2.0)))
@@ -284,7 +285,7 @@ def _design_draw(spec: SimSpec, arr: Dict, key):
         base = arr["corr"].astype(jnp.float64)
         n_off = n_cont * (n_cont - 1) // 2
         noise = (
-            rng.normal(key, rng.CLASS_SCENARIO, _SC_CORR, jnp.arange(n_off)).astype(
+            rng.normal_fill(key, rng.CLASS_SCENARIO, _SC_CORR, 0, n_off).astype(
                 jnp.float64
             )
             * sc.correlation_noise_sd
@@ -305,9 +306,8 @@ def _design_draw(spec: SimSpec, arr: Dict, key):
         pool = jnp.asarray(
             [DIST_CODES[d] for d in sc.new_distributions], dtype=jnp.int32
         )
-        cols = jnp.arange(n_cont)
-        u_swap = rng.uniform(key, rng.CLASS_SCENARIO, _SC_VARSWAP_U, cols)
-        u_pick = rng.uniform(key, rng.CLASS_SCENARIO, _SC_VARSWAP_PICK, cols)
+        u_swap = rng.uniform_fill(key, rng.CLASS_SCENARIO, _SC_VARSWAP_U, 0, n_cont)
+        u_pick = rng.uniform_fill(key, rng.CLASS_SCENARIO, _SC_VARSWAP_PICK, 0, n_cont)
         pick = jnp.minimum(
             (u_pick * len(sc.new_distributions)).astype(jnp.int32),
             len(sc.new_distributions) - 1,
@@ -335,8 +335,8 @@ def _design_draw(spec: SimSpec, arr: Dict, key):
         pool_r = jnp.asarray(
             [RESID_CODES[d] for d in sc.residual_dists], dtype=jnp.int32
         )
-        u_r = rng.uniform(key, rng.CLASS_SCENARIO, _SC_RESID_U, jnp.arange(1))[0]
-        u_rp = rng.uniform(key, rng.CLASS_SCENARIO, _SC_RESID_PICK, jnp.arange(1))[0]
+        u_r = rng.uniform_fill(key, rng.CLASS_SCENARIO, _SC_RESID_U, 0, 1)[0]
+        u_rp = rng.uniform_fill(key, rng.CLASS_SCENARIO, _SC_RESID_PICK, 0, 1)[0]
         pick_r = jnp.minimum(
             (u_rp * len(sc.residual_dists)).astype(jnp.int32),
             len(sc.residual_dists) - 1,
@@ -355,8 +355,8 @@ def _design_draw(spec: SimSpec, arr: Dict, key):
             dtype=jnp.float32,
         )
         if sc.icc_noise_sd > 0.0:
-            jit_draw = rng.normal(
-                key, rng.CLASS_SCENARIO, _SC_ICC, jnp.arange(n_groupings)
+            jit_draw = rng.normal_fill(
+                key, rng.CLASS_SCENARIO, _SC_ICC, 0, n_groupings
             )
             tau2_eff = jnp.maximum(base_tau + jit_draw * sc.icc_noise_sd, 0.0)
         else:
@@ -376,17 +376,20 @@ def _re_draw(spec: SimSpec, key, column_base: int, count: int, row_offset: int =
     """Unit-variance RE component draws under the scenario's RE distribution."""
     sc = spec.scenario
     if sc.random_effect_dist == "normal":
-        return rng.normal(
-            key, rng.CLASS_CLUSTER, column_base, jnp.arange(row_offset, row_offset + count)
+        return rng.normal_fill(
+            key, rng.CLASS_CLUSTER, column_base, row_offset, row_offset + count
         )
     # heavy_tailed: standardized t(re_df), same construction as residuals.
     df = max(float(sc.random_effect_df), 3.0)
     df_int = max(int(round(df)), 1)
-    rows = jnp.arange(row_offset, row_offset + count)
-    z = rng.normal(key, rng.CLASS_CLUSTER, column_base, rows)
+    z = rng.normal_fill(
+        key, rng.CLASS_CLUSTER, column_base, row_offset, row_offset + count
+    )
     chi2 = jnp.zeros(count, dtype=jnp.float32)
     for s in range(df_int):
-        g = rng.normal(key, rng.CLASS_CLUSTER, column_base + 1 + s, rows)
+        g = rng.normal_fill(
+            key, rng.CLASS_CLUSTER, column_base + 1 + s, row_offset, row_offset + count
+        )
         chi2 = chi2 + g * g
     denom = jnp.sqrt(chi2 / jnp.float32(df))
     scale = jnp.float32(np.sqrt((df - 2.0) / df))
@@ -475,7 +478,10 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
     cols = []
     if spec.n_cont > 0:
         z = jnp.stack(
-            [rng.normal(key, rng.CLASS_XNORM, j, rows) for j in range(spec.n_cont)],
+            [
+                rng.normal_fill(key, rng.CLASS_XNORM, j, 0, max_n)
+                for j in range(spec.n_cont)
+            ],
             axis=1,
         )  # (max_n, n_cont)
         mixed = z @ L.T  # f32 matmul (MXU at batch scale)
@@ -504,7 +510,7 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
     # --- strict-bootstrap row picks (one shared source row per design row
     # preserves the exact empirical joint — data_gen.rs bootstrap arm) ---
     if spec.bootstrap and spec.upload_rows > 0:
-        u_boot = rng.uniform(key, rng.CLASS_BOOT, 0, rows)
+        u_boot = rng.uniform_fill(key, rng.CLASS_BOOT, 0, 0, max_n)
         boot_r = jnp.clip(
             (u_boot * spec.upload_rows).astype(jnp.int32), 0, spec.upload_rows - 1
         )
@@ -531,7 +537,7 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
         if boot_r is not None and fc >= 0:
             lvl = arr["boot_frame"][boot_r, fc].astype(jnp.int32)
         elif sampled:
-            u = rng.uniform(key, rng.CLASS_FACTOR, f, rows)
+            u = rng.uniform_fill(key, rng.CLASS_FACTOR, f, 0, max_n)
             cdf = jnp.cumsum(probs) / jnp.sum(probs)
             lvl = jnp.sum(u[:, None] >= cdf[None, :-1], axis=1).astype(jnp.int32)
         else:
@@ -565,7 +571,7 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
     beta = arr["effects"].astype(jnp.float32)
     het = max(sc.heterogeneity, 0.0)
     if het > FLOAT_NEAR_ZERO:
-        delta_z = rng.normal(key, rng.CLASS_HET, 0, jnp.arange(p))
+        delta_z = rng.normal_fill(key, rng.CLASS_HET, 0, 0, p)
         # Intercept jitter SD: continuous 0 (effects-only); binary/count an
         # absolute latent-scale shift of sd = het (data_gen.rs:716-724).
         s0 = 0.0 if spec.outcome == "continuous" else het
@@ -617,13 +623,13 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
         y = eta + eps
     elif spec.outcome == "binary":
         if spec.link == "probit":
-            zlat = rng.normal(key, rng.CLASS_RESID, 0, rows)
+            zlat = rng.normal_fill(key, rng.CLASS_RESID, 0, 0, max_n)
             y = jnp.where(zlat < eta, jnp.float32(1.0), jnp.float32(0.0))
         else:
-            u = rng.uniform(key, rng.CLASS_RESID, 0, rows)
+            u = rng.uniform_fill(key, rng.CLASS_RESID, 0, 0, max_n)
             y = jnp.where(u < jax.nn.sigmoid(eta), jnp.float32(1.0), jnp.float32(0.0))
     elif spec.outcome == "count":
-        zlat = rng.normal(key, rng.CLASS_RESID, 0, rows)
+        zlat = rng.normal_fill(key, rng.CLASS_RESID, 0, 0, max_n)
         lam_i = jnp.exp(eta)
         y = _poisson_quantile(zlat, lam_i)
     else:

@@ -25,7 +25,10 @@ assigns counters shape-dependently, so a draw of ``max_n`` rows is not a prefix
 of a longer draw. We keep the *addressing scheme* of the reference (per-sim
 keys, class/column/row counters — see SURVEY.md §2.8 item 1) while using our
 own bitstream, implemented as ~40 uint32 multiply/xor ops per 4 output words —
-pure VPU work that XLA fuses into the surrounding generation pass.
+pure VPU work that XLA fuses into the surrounding generation pass. Like the
+reference's blocked planar fills (``fill_words``, rng.rs:154), all four cipher
+output words are consumed: row ``i`` reads word ``i & 3`` of the cipher at
+block counter ``i >> 2``, so a length-n fill costs n/4 cipher invocations.
 
 The bitstream is golden-pinned by ``tests/test_rng.py`` (Random123 known-answer
 vectors + a pinned stream fixture). Changing anything in this file is a
@@ -142,22 +145,66 @@ def sim_key(base_seed, sim_id):
     return k0, k1
 
 
-def raw_words(key, stream_class, column, rows):
-    """4 raw uint32 words per row for a (class, column) planar stream.
+def _block_words(key, stream_class, column, blocks):
+    """All 4 cipher words for the given block counters of a planar stream.
 
-    ``key``: (k0, k1) pair from :func:`sim_key` (arrays broadcastable against
-    ``rows``). ``rows``: int32/uint32 array of row indices (any shape).
-    Counter layout: (row, column, class, 0xA5A5A5A5 domain tag).
+    Counter layout: (block, column, class, 0xA5A5A5A5 domain tag).
     """
     k0, k1 = key
     return philox4x32(
-        jnp.asarray(rows, jnp.uint32),
+        jnp.asarray(blocks, jnp.uint32),
         jnp.uint32(column) if not hasattr(column, "dtype") else jnp.asarray(column, jnp.uint32),
         jnp.uint32(stream_class),
         jnp.uint32(0xA5A5A5A5),
         k0,
         k1,
     )
+
+
+def raw_words(key, stream_class, column, rows):
+    """One raw uint32 word per row for a (class, column) planar stream.
+
+    **Packed addressing** (the reproducibility contract): the word at
+    ``(class, column, row)`` is output word ``row & 3`` of the cipher at
+    counter ``(row >> 2, column, class, 0xA5A5A5A5)`` — four consecutive
+    rows share one Philox invocation, exactly the reference's blocked
+    planar fills, which also consume all four output words per counter
+    (crates/engine-core/src/rng.rs:154 ``fill_words``). Each value is
+    still a pure function of (seed, sim, class, column, row): prefix
+    stability, device-count independence, and draw independence are
+    unchanged; the cipher cost per value drops 4x.
+
+    ``key``: (k0, k1) pair from :func:`sim_key` (arrays broadcastable
+    against ``rows``). ``rows``: int32/uint32 array of row indices (any
+    shape). For contiguous row ranges prefer :func:`fill_raw`, which
+    evaluates each block once instead of once per row.
+    """
+    rows = jnp.asarray(rows, jnp.uint32)
+    w = _block_words(key, stream_class, column, rows >> 2)
+    lane = rows & jnp.uint32(3)
+    return jnp.where(
+        lane == 0,
+        w[0],
+        jnp.where(lane == 1, w[1], jnp.where(lane == 2, w[2], w[3])),
+    )
+
+
+def fill_raw(key, stream_class, column, start: int, stop: int):
+    """Words for the contiguous rows ``[start, stop)`` — the fast path.
+
+    Identical values to ``raw_words(key, cls, col, arange(start, stop))``
+    (same packed addressing), but each 4-row block runs the cipher once:
+    ``(stop - start) / 4`` Philox invocations instead of one per row.
+    ``start``/``stop`` must be static Python ints (they are shape-affecting).
+    """
+    b0 = start >> 2
+    b1 = ((stop - 1) >> 2) + 1 if stop > start else b0
+    w = _block_words(
+        key, stream_class, column, jnp.arange(b0, b1, dtype=jnp.uint32)
+    )
+    words = jnp.stack(w, axis=-1).reshape(*w[0].shape[:-1], -1)
+    off = start - 4 * b0
+    return words[..., off : off + (stop - start)]
 
 
 _INV_2POW24 = jnp.float32(1.0 / (1 << 24))
@@ -178,9 +225,13 @@ def u32_to_open_uniform(w):
 
 
 def uniform(key, stream_class, column, rows):
-    """float32 uniform [0,1) stream at (class, column, rows); word 0 of 4."""
-    w0, _, _, _ = raw_words(key, stream_class, column, rows)
-    return u32_to_uniform(w0)
+    """float32 uniform [0,1) stream at (class, column, rows)."""
+    return u32_to_uniform(raw_words(key, stream_class, column, rows))
+
+
+def uniform_fill(key, stream_class, column, start: int, stop: int):
+    """Contiguous-range twin of :func:`uniform` (same values, 4x cheaper)."""
+    return u32_to_uniform(fill_raw(key, stream_class, column, start, stop))
 
 
 def normal(key, stream_class, column, rows):
@@ -191,16 +242,15 @@ def normal(key, stream_class, column, rows):
     draw is individually addressable. Uses the open-interval uniform so the
     ppf never sees 0 or 1.
     """
-    w0, _, _, _ = raw_words(key, stream_class, column, rows)
-    return norm_ppf_f32(u32_to_open_uniform(w0))
+    return norm_ppf_f32(
+        u32_to_open_uniform(raw_words(key, stream_class, column, rows))
+    )
 
 
-def normal2(key, stream_class, column, rows):
-    """Two independent float32 normals per row (words 0 and 1)."""
-    w0, w1, _, _ = raw_words(key, stream_class, column, rows)
-    return (
-        norm_ppf_f32(u32_to_open_uniform(w0)),
-        norm_ppf_f32(u32_to_open_uniform(w1)),
+def normal_fill(key, stream_class, column, start: int, stop: int):
+    """Contiguous-range twin of :func:`normal` (same values, 4x cheaper)."""
+    return norm_ppf_f32(
+        u32_to_open_uniform(fill_raw(key, stream_class, column, start, stop))
     )
 
 

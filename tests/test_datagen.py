@@ -53,7 +53,11 @@ def test_marginal_standardization_all_types():
     for j, t in enumerate(types):
         col = X[:, 1 + j]
         assert abs(col.mean()) < 0.02, (t, col.mean())
-        assert abs(col.std() - 1.0) < 0.02, (t, col.std())
+        # t(3) has an infinite 4th moment: the sample-std estimator has
+        # unbounded variance, so its MC band cannot be as tight as the
+        # finite-kurtosis types' at any draw budget.
+        std_tol = 0.05 if t == "high_kurtosis" else 0.02
+        assert abs(col.std() - 1.0) < std_tol, (t, col.std())
         skew = stats.skew(col)
         if t == "right_skewed":
             assert 1.6 < skew < 2.2, skew

@@ -127,15 +127,39 @@ GOLDEN_STREAM_U32 = None  # filled by the pinning test below on first failure
 
 
 def test_golden_stream_pin():
-    """Pin the first words of the engine stream for (seed=2137, sim=0..1)."""
+    """Pin the engine stream for (seed=2137, sim=0): packed addressing.
+
+    The reproducibility contract: the word at (class, column, row) is
+    output word ``row & 3`` of the cipher at counter
+    ``(row >> 2, column, class, 0xA5A5A5A5)`` — four consecutive rows
+    share one Philox invocation (all four output words consumed, like the
+    reference's blocked planar fills, rng.rs:154). Recomputed here through
+    the pure-Python cipher, independently of the engine implementation.
+    """
     key = rng.sim_key(jnp.uint32(2137), jnp.uint32(0))
-    w = rng.raw_words(key, rng.CLASS_XNORM, 0, jnp.arange(4))
-    got = np.stack([np.asarray(x) for x in w]).T.astype(np.uint32)
-    # Independent recomputation through the pure-Python cipher:
+    got = np.asarray(rng.raw_words(key, rng.CLASS_XNORM, 0, jnp.arange(11)))
     # sim_key counter layout is (sim_lo, sim_hi, CLASS_SIMKEY, 0), key (seed_lo, seed_hi).
     k0, k1, _, _ = philox4x32_ref((0, 0, rng.CLASS_SIMKEY, 0), (2137, 0))
     want = np.array(
-        [philox4x32_ref((row, 0, rng.CLASS_XNORM, 0xA5A5A5A5), (k0, k1)) for row in range(4)],
+        [
+            philox4x32_ref(
+                (row >> 2, 0, rng.CLASS_XNORM, 0xA5A5A5A5), (k0, k1)
+            )[row & 3]
+            for row in range(11)
+        ],
         dtype=np.uint32,
     )
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got.astype(np.uint32), want)
+
+
+def test_fill_raw_matches_lane_select_addressing():
+    """fill_raw (block-at-a-time fast path) produces exactly the values of
+    the general per-row lane-select form, including non-multiple-of-4
+    offsets and lengths."""
+    key = rng.sim_key(jnp.uint32(7), jnp.uint32(5))
+    for start, stop in [(0, 16), (0, 13), (3, 18), (5, 6), (7, 7), (2, 3)]:
+        fast = np.asarray(rng.fill_raw(key, rng.CLASS_CLUSTER, 2, start, stop))
+        gen = np.asarray(
+            rng.raw_words(key, rng.CLASS_CLUSTER, 2, jnp.arange(start, stop))
+        )
+        np.testing.assert_array_equal(fast, gen), (start, stop)
