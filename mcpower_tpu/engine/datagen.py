@@ -214,29 +214,41 @@ def _unit_residual_draws(
     )
 
 
-def _poisson_quantile(z, lam):
-    """Fixed-draw Poisson inverse CDF driven by a standard normal z.
+def _poisson_quantile(u, z, lam):
+    """Fixed-draw Poisson inverse CDF at uniform u (z = norm_ppf(u)).
 
-    lambda <= 20: cumulative-PMF walk (static 200-step fori, branch-free);
-    above: normal approximation floor(lambda + z sqrt(lambda) + 0.5).
+    lambda <= 20: cumulative-PMF walk, early-exited once every lane's CDF
+    has crossed its u (typical lambdas converge in ~10-30 terms; the walk
+    is latency-bound sequential vector steps, so exiting early is a
+    direct wall-clock cut — iterations past the crossing point never
+    change y, so the result is identical to the full 200-step walk).
+    Above: normal approximation floor(lambda + z sqrt(lambda) + 0.5).
     Mirrors crates/engine-core/src/rng.rs:399.
     """
-    u = rng.norm_cdf(z).astype(jnp.float32)
+    # f64 walk accumulators, as the reference's (rng.rs poisson_quantile
+    # takes f64): an f32 CDF sum can plateau a few ULPs below 1.0 and
+    # *under* a near-1 u, which would ride y to the step cap instead of
+    # the quantile; the f64 sum always crosses any f32-representable
+    # u < 1.
+    u = jnp.asarray(u, jnp.float64)
+    lam64 = jnp.asarray(lam, jnp.float64)
     lam = jnp.asarray(lam, jnp.float32)
 
-    log_p0 = -lam
-    p0 = jnp.exp(log_p0)
+    p0 = jnp.exp(-lam64)
 
-    def body(k, carry):
-        p, cdf, y = carry
-        kf = jnp.float32(k + 1)
-        p = p * lam / kf
+    def cond(carry):
+        k, p, cdf, y = carry
+        return (k < 200) & jnp.any(cdf < u)
+
+    def body(carry):
+        k, p, cdf, y = carry
+        p = p * lam64 / (k + 1).astype(jnp.float64)
         cdf_new = cdf + p
         y = jnp.where(cdf < u, y + 1.0, y)
-        return p, cdf_new, y
+        return k + 1, p, cdf_new, y
 
-    _, _, y_walk = jax.lax.fori_loop(
-        0, 200, body, (p0, p0, jnp.zeros_like(u))
+    _, _, _, y_walk = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), p0, p0, jnp.zeros(u.shape, jnp.float32))
     )
     y_norm = jnp.maximum(jnp.floor(lam + z * jnp.sqrt(lam) + 0.5), 0.0)
     y = jnp.where(lam <= 20.0, y_walk, y_norm)
@@ -629,9 +641,19 @@ def generate(spec: SimSpec, arr: Dict, key) -> Tuple[jnp.ndarray, jnp.ndarray, j
             u = rng.uniform_fill(key, rng.CLASS_RESID, 0, 0, max_n)
             y = jnp.where(u < jax.nn.sigmoid(eta), jnp.float32(1.0), jnp.float32(0.0))
     elif spec.outcome == "count":
-        zlat = rng.normal_fill(key, rng.CLASS_RESID, 0, 0, max_n)
+        # One uniform serves both arms: the PMF walk consumes u directly
+        # (no ppf -> cdf round trip), the high-lambda normal approximation
+        # consumes z = ppf(u). The walk's u is clamped below 1.0 exactly
+        # as the ppf clamps internally — the f32 open uniform rounds the
+        # top few u32 values to 1.0, and an unclamped u == 1.0 lane would
+        # ride the walk to its 200-count cap instead of its quantile.
+        u_cnt = rng.u32_to_open_uniform(
+            rng.fill_raw(key, rng.CLASS_RESID, 0, 0, max_n)
+        )
+        u_cnt = jnp.minimum(u_cnt, jnp.float32(1.0 - 6e-8))
+        zlat = rng.norm_ppf_f32(u_cnt)
         lam_i = jnp.exp(eta)
-        y = _poisson_quantile(zlat, lam_i)
+        y = _poisson_quantile(u_cnt, zlat, lam_i)
     else:
         raise ValueError(f"unknown outcome {spec.outcome!r}")
 
