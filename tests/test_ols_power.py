@@ -193,3 +193,37 @@ def test_power_accuracy_at_5_sigma_alpha():
     oracle = np.trapezoid(w * tail, s_grid) / np.trapezoid(w, s_grid)
     assert 0.2 < oracle < 0.95, oracle  # test sits in the informative band
     assert abs(p_hat - oracle) < 0.01, (p_hat, oracle)
+
+
+def test_overall_f_power_matches_noncentral_f_oracle():
+    """Omnibus-F power vs the exact conditional oracle (SURVEY 4.5 oracle
+    family): given a realized design, the overall F statistic for H0 "all
+    slopes zero" is noncentral F(P-1, N-P, ncp = b' Xc'Xc b) with sigma=1.
+    The oracle averages the exact ncf tail over independently drawn
+    designs (numpy/scipy only — no engine code)."""
+    N, beta = 120, np.array([0.0, 0.25, 0.15, 0.10])
+    corr = np.full((3, 3), 0.2) + 0.8 * np.eye(3)
+    spec, arrays = lower.lower(
+        grid=[N],
+        var_types=["normal"] * 3,
+        corr=corr,
+        effects=beta,
+        target_cols=[1],
+        report_overall=True,
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=4000, base_seed=23)
+    got = counts["overall"][0] / counts["n_done"]
+
+    rs = np.random.default_rng(99)
+    L = np.linalg.cholesky(corr)
+    df1, df2 = 3, N - 4
+    fcrit = stats.f.ppf(0.95, df1, df2)
+    powers = []
+    for _ in range(3000):
+        X = rs.standard_normal((N, 3)) @ L.T
+        Xc = X - X.mean(0, keepdims=True)
+        ncp = beta[1:] @ (Xc.T @ Xc) @ beta[1:]
+        powers.append(stats.ncf.sf(fcrit, df1, df2, ncp))
+    want = float(np.mean(powers))
+    assert 0.2 < want < 0.98, want  # informative regime
+    assert abs(got - want) < 0.025, (got, want)
