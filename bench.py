@@ -31,6 +31,24 @@ def _timed(spec, arrays, n_sims, min_converged=0.9):
     return elapsed
 
 
+def _wait_for_backend(attempts=3, pause_s=60):
+    """Retry backend init: the tunneled TPU plugin can be transiently
+    UNAVAILABLE; a bench run should ride out a short outage rather than
+    record nothing for the round."""
+    import jax
+
+    for i in range(attempts):
+        try:
+            jax.devices()
+            return
+        except Exception as e:  # backend setup error — retry
+            if i == attempts - 1:
+                raise
+            print(f"# backend unavailable ({e}); retry {i + 1}/{attempts}",
+                  flush=True)
+            time.sleep(pause_s)
+
+
 def main():
     import jax
 
@@ -38,6 +56,7 @@ def main():
     # (the warmup batch isolates compile time from the timings either way).
     jax.config.update("jax_compilation_cache_dir", "/tmp/mcpower_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    _wait_for_backend()
 
     from mcpower_tpu.engine import lower
     from mcpower_tpu.engine.spec import ClusterStatic
