@@ -102,6 +102,28 @@ class MCPower:
         self._uploaded = None
         self.last_result: Optional[Dict] = None
 
+    def __getattr__(self, name: str) -> Any:
+        """Loud, instructive errors for the reference's removed ``set_*``
+        setters (ports/py/mcpower/model.py:318-344): ``target_test`` and
+        ``correction`` are per-call kwargs on find_power/find_sample_size,
+        not model state. ``__getattr__`` only fires on lookups ordinary
+        resolution missed, so this never shadows a real attribute."""
+        if name == "set_tests":
+            raise AttributeError(
+                "MCPower.set_tests was removed — pass target_test=... directly "
+                "to find_power()/find_sample_size() instead, e.g. "
+                "find_power(160, target_test='all, -x2')."
+            )
+        if name == "set_correction_method":
+            raise AttributeError(
+                "MCPower.set_correction_method was removed — pass correction=... "
+                "directly to find_power()/find_sample_size() instead, e.g. "
+                "find_power(160, correction='bh')."
+            )
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
+
     # ------------------------------------------------------------------
     # introspection properties
     # ------------------------------------------------------------------

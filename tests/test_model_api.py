@@ -259,3 +259,17 @@ def test_to_simulation_spec_round_trips():
     assert len(c.outcome.coefficients) == 3  # const + x1 + x2
     with pytest.raises(ValueError, match="unknown scenario"):
         m.to_simulation_spec("nope")
+
+
+def test_removed_setters_raise_instructive_errors():
+    """The reference intercepts the removed v2 setters with migration
+    pointers (model.py:318-344); unknown names stay plain AttributeErrors."""
+    m = MCPower("y ~ x1")
+    with pytest.raises(AttributeError, match="target_test=.*find_power"):
+        m.set_tests
+    with pytest.raises(AttributeError, match="correction=.*find_power"):
+        m.set_correction_method
+    with pytest.raises(AttributeError, match="no attribute 'set_bogus'"):
+        m.set_bogus
+    # __getattr__ must not shadow real attributes or break copying/pickling
+    assert m.set_seed(7) is m
