@@ -101,24 +101,39 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"error": {"message": f"no route {self.path}"}})
 
+    def _origin_ok(self, origin: str) -> bool:
+        try:
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(origin)
+        except ValueError:
+            return False
+        if parts.scheme not in ("http", "https"):
+            return False
+        if parts.hostname not in ("127.0.0.1", "localhost", "::1"):
+            return False
+        try:
+            port = parts.port
+        except ValueError:
+            return False
+        if port is None:
+            port = 443 if parts.scheme == "https" else 80
+        return port == self.server.server_address[1]
+
     def do_POST(self):
         if self.path not in ("/api/run", "/api/search"):
             self._send(404, {"error": {"message": f"no route {self.path}"}})
             return
         # A non-local page can fire cross-origin POSTs at loopback (it
         # cannot read the response, but it could drive engine runs) —
-        # accept only same-origin/absent Origin headers.
+        # accept only same-origin/absent Origin headers. Same-origin means
+        # scheme + loopback host + THIS server's port: a page served by
+        # any other local listener (a dev server on :3000) is still
+        # cross-origin.
         origin = self.headers.get("Origin")
-        if origin is not None:
-            try:
-                from urllib.parse import urlsplit
-
-                ohost = urlsplit(origin).hostname
-            except ValueError:
-                ohost = None
-            if ohost not in ("127.0.0.1", "localhost", "::1"):
-                self._send(403, {"error": {"message": "cross-origin request"}})
-                return
+        if origin is not None and not self._origin_ok(origin):
+            self._send(403, {"error": {"message": "cross-origin request"}})
+            return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             if not 0 < length <= _MAX_BODY:

@@ -21,6 +21,7 @@ Tukey HSD uses the studentized-range ppf at the factor's level count.
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -44,6 +45,11 @@ def f_ppf(p, dfn, dfd):
     return _stats.f.ppf(p, dfn, dfd)
 
 
+@_functools.lru_cache(maxsize=8192)
+def _q_tukey_scalar(p: float, k: float, df: float) -> float:
+    return float(_stats.studentized_range.ppf(p, k, df))
+
+
 def q_tukey_ppf(p, k, df):
     """Studentized-range quantile (Tukey HSD), q such that P(Q <= q) = p.
 
@@ -51,12 +57,23 @@ def q_tukey_ppf(p, k, df):
     (crates/engine-core/src/critvals.rs:687): k <= 1, df < 2, or non-finite
     k/df yield NaN (matching R's qtukey degenerate cases) — never finite
     garbage.
+
+    scipy's studentized-range ppf costs ~0.2 s per element on this class of
+    host, and the marginal-Tukey tables repeat the same (k, df) pair across
+    targets, grid rows, and reduced-refit layers — so evaluations are
+    memoized per unique finite (k, df) pair and degenerate entries are
+    never evaluated at all.
     """
+    p = float(p)
     k = np.asarray(k, dtype=np.float64)
     df = np.asarray(df, dtype=np.float64)
+    k, df = np.broadcast_arrays(k, df)
     bad = ~np.isfinite(k) | ~np.isfinite(df) | (k <= 1.0) | (df < 2.0)
-    q = _stats.studentized_range.ppf(p, np.where(bad, 2.0, k), np.where(bad, 2.0, df))
-    return np.where(bad, np.nan, q)
+    out = np.full(k.shape, np.nan, dtype=np.float64)
+    kf, dff, badf, outf = k.ravel(), df.ravel(), bad.ravel(), out.reshape(-1)
+    for i in np.nonzero(~badf)[0]:
+        outf[i] = _q_tukey_scalar(p, float(kf[i]), float(dff[i]))
+    return out if out.shape else np.float64(outf[0])
 
 
 def _two_sided_t2(alpha: np.ndarray, df: np.ndarray, use_t: bool) -> np.ndarray:
@@ -199,7 +216,7 @@ def build_crit_table(
         n_pairs = k_levels * (k_levels - 1) // 2
         if posthoc_correction == "tukey_hsd":
             dfv = df_resid if use_t else np.full(n_grid, 1e9)
-            q = _stats.studentized_range.ppf(1.0 - alpha, k_levels, dfv)
+            q = q_tukey_ppf(1.0 - alpha, float(k_levels), dfv)
             posthoc[fidx] = np.square(q / np.sqrt(2.0))
         elif posthoc_correction == "bonferroni":
             posthoc[fidx] = _two_sided_t2(

@@ -236,9 +236,14 @@ def _poisson_quantile(u, z, lam):
 
     p0 = jnp.exp(-lam64)
 
+    # lanes with lam > 20 take the normal branch below — their CDFs may
+    # never cross u within the cap (exp(-lam) underflows past ~746), so
+    # they must not keep the early-exit loop alive
+    walk_lane = lam64 <= 20.0
+
     def cond(carry):
         k, p, cdf, y = carry
-        return (k < 200) & jnp.any(cdf < u)
+        return (k < 200) & jnp.any((cdf < u) & walk_lane)
 
     def body(carry):
         k, p, cdf, y = carry

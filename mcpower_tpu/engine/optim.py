@@ -23,12 +23,14 @@ Cost model (why this NM looks different from the textbook one):
   vertices whenever no candidate is accepted; branch-free execution would
   pay those d+1 evaluations EVERY iteration (they dominated this search's
   cost: (d+1)/(d+5) of all objective evals for a step taken on the rare
-  no-accept path). Instead, a failed iteration accepts the inside
-  contraction unconditionally — the replacement is strictly inside the
-  simplex, so the simplex still contracts geometrically on repeated
-  failures (same asymptotic role as shrink), its f-value is already
-  computed and stays truthful, and the incumbent best vertex is never
-  displaced. Near the truth-started optima this search runs at, no-accept
+  no-accept path). Instead, when no textbook case accepts: if the
+  reflection strictly improved on the worst vertex it is kept (free —
+  already evaluated — and an actual improvement); otherwise the iteration
+  accepts the inside contraction unconditionally — the replacement is
+  strictly inside the simplex, so the simplex still contracts
+  geometrically on repeated failures (same asymptotic role as shrink),
+  its f-value is already computed and stays truthful, and the incumbent
+  best vertex is never displaced. Near the truth-started optima this search runs at, no-accept
   iterations are rare and the variant is numerically indistinguishable
   (parity suites pin the fits at 2-5% tolerances).
 """
@@ -37,6 +39,23 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _select_candidate(f_best, second, f_worst, fr, fe, fc_out, fc_in):
+    """Candidate index (0=reflect, 1=expand, 2=outside, 3=inside) for the
+    worst vertex's replacement — the one selection logic both NM variants
+    share. Invariant: whenever the reflection strictly improves on the
+    worst vertex, the accepted replacement's f is <= fr (a free, already
+    evaluated improvement is never traded for a worse inside point)."""
+    use_expand = (fr < f_best) & (fe < fr)
+    use_reflect = (fr < second) & ~use_expand | ((fr < f_best) & ~(fe < fr))
+    use_cout = (~use_expand) & (~use_reflect) & (fr < f_worst) & (fc_out <= fr)
+    use_rfall = (~use_expand) & (~use_reflect) & (fr < f_worst) & ~use_cout
+    return jnp.where(
+        use_expand,
+        1,
+        jnp.where(use_reflect | use_rfall, 0, jnp.where(use_cout, 2, 3)),
+    )
 
 
 def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
@@ -74,28 +93,16 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
         xc_out = clip(centroid + rho * (xr - centroid))
         xc_in = clip(centroid - rho * (centroid - worst))
         # one 4-lane batched evaluation per iteration
-        fr, fe, fc_out, fc_in = jax.vmap(f)(
-            jnp.stack([xr, xe, xc_out, xc_in])
-        )
+        cands = jnp.stack([xr, xe, xc_out, xc_in])
+        fc = jax.vmap(f)(cands)
+        fr, fe, fc_out, fc_in = fc
 
         # case selection for the worst vertex's replacement; when nothing
         # qualifies, take the inside contraction anyway (see module note)
-        use_expand = (fr < f_best) & (fe < fr)
-        use_reflect = (fr < second) & ~use_expand | ((fr < f_best) & ~(fe < fr))
-        use_cout = (~use_expand) & (~use_reflect) & (fr < f_worst) & (fc_out <= fr)
-        replaced = jnp.where(
-            use_expand,
-            xe,
-            jnp.where(use_reflect, xr, jnp.where(use_cout, xc_out, xc_in)),
-        )
-        f_replaced = jnp.where(
-            use_expand,
-            fe,
-            jnp.where(use_reflect, fr, jnp.where(use_cout, fc_out, fc_in)),
-        )
+        idx = _select_candidate(f_best, second, f_worst, fr, fe, fc_out, fc_in)
         return (
-            verts.at[-1].set(replaced),
-            fvals.at[-1].set(f_replaced),
+            verts.at[-1].set(cands[idx]),
+            fvals.at[-1].set(fc[idx]),
         )
 
     verts, fvals = jax.lax.fori_loop(0, iters, body, (verts, fvals))
@@ -161,17 +168,8 @@ def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None):
             fc, auxc = jax.vmap(lambda x: f(x, aux, budget))(cands)
             fr, fe, fc_out, fc_in = fc
 
-            use_expand = (fr < f_best) & (fe < fr)
-            use_reflect = (fr < second) & ~use_expand | (
-                (fr < f_best) & ~(fe < fr)
-            )
-            use_cout = (
-                (~use_expand) & (~use_reflect) & (fr < f_worst) & (fc_out <= fr)
-            )
-            idx = jnp.where(
-                use_expand,
-                1,
-                jnp.where(use_reflect, 0, jnp.where(use_cout, 2, 3)),
+            idx = _select_candidate(
+                f_best, second, f_worst, fr, fe, fc_out, fc_in
             )
             replaced = cands[idx]
             f_replaced = fc[idx]

@@ -107,3 +107,38 @@ def test_vmapped_over_lanes_like_the_engine():
 
     got = np.asarray(jax.vmap(solve)(targets))
     np.testing.assert_allclose(got, np.asarray(targets), atol=1e-8)
+
+
+def test_improving_reflection_never_discarded():
+    """Selection invariant (shared by both NM variants via
+    _select_candidate): whenever the reflection strictly improves on the
+    worst vertex, the accepted replacement's f is <= fr — a free, already
+    evaluated improvement is never traded for a possibly-worse inside
+    contraction. Property-checked over randomized orderings, plus the
+    exact regression case (fr between second and worst, fc_out > fr,
+    fc_in > f_worst) where the superseded variant accepted a point worse
+    than the whole simplex."""
+    rng = np.random.default_rng(7)
+
+    def accepted_f(f_best, second, f_worst, fr, fe, fc_out, fc_in):
+        idx = int(
+            optim._select_candidate(
+                *(jnp.float64(v) for v in (f_best, second, f_worst, fr, fe, fc_out, fc_in))
+            )
+        )
+        return (fr, fe, fc_out, fc_in)[idx]
+
+    # the exact regression case
+    got = accepted_f(0.0, 1.0, 10.0, 5.0, 99.0, 7.0, 20.0)
+    assert got == 5.0  # keeps xr; the old variant returned fc_in = 20
+
+    # property: fr < f_worst  =>  accepted f <= fr
+    for _ in range(500):
+        f_best, second, f_worst = np.sort(rng.normal(size=3))
+        fr = rng.normal()
+        fe, fc_out, fc_in = rng.normal(size=3)
+        acc = accepted_f(f_best, second, f_worst, fr, fe, fc_out, fc_in)
+        if fr < f_worst:
+            assert acc <= fr, (f_best, second, f_worst, fr, fe, fc_out, fc_in)
+        # and the incumbent best is never displaced by construction
+        # (only the worst vertex is replaced) — nothing to check here

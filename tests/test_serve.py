@@ -145,6 +145,24 @@ def test_cross_origin_post_rejected(server_url):
     assert exc.value.code == 403
 
 
+def test_loopback_other_port_is_still_cross_origin(server_url):
+    """A page served by ANOTHER local listener (loopback hostname, different
+    port) must not pass the same-origin guard — hostname alone is not
+    same-origin."""
+    req = urllib.request.Request(
+        server_url + "/api/run",
+        data=json.dumps({"spec": _doc(), "sample_size": 100}).encode(),
+        headers={
+            "Content-Type": "application/json",
+            "Origin": "http://127.0.0.1:3000",
+        },
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 403
+
+
 def test_same_origin_post_accepted(server_url):
     req = urllib.request.Request(
         server_url + "/api/run",
