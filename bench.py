@@ -31,32 +31,51 @@ def _timed(spec, arrays, n_sims, min_converged=0.9):
     return elapsed
 
 
-def _wait_for_backend(attempts=3, pause_s=60):
-    """Retry backend init: the tunneled TPU plugin can be transiently
-    UNAVAILABLE; a bench run should ride out a short outage rather than
-    record nothing for the round."""
-    import jax
+def _wait_for_backend(attempts=12, pause_s=90, probe_timeout_s=120):
+    """Ride out tunneled-TPU outages before touching jax in THIS process.
+
+    During an outage ``jax.devices()`` does not raise — it BLOCKS
+    indefinitely inside backend init (observed round 3), so an in-process
+    try/except retry loop never gets its second attempt. Probe in a
+    killable subprocess instead, and only let the parent initialize its
+    backend once a probe has succeeded. Budget ~40 min of outage
+    (12 x (120 s probe + 90 s pause)) before giving up loudly."""
+    import subprocess
+    import sys
 
     for i in range(attempts):
         try:
-            jax.devices()
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
             return
-        except Exception as e:  # backend setup error — retry
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
             if i == attempts - 1:
-                raise
-            print(f"# backend unavailable ({e}); retry {i + 1}/{attempts}",
-                  flush=True)
+                raise RuntimeError(
+                    f"TPU backend unavailable after {attempts} probes"
+                ) from e
+            print(
+                f"# backend unavailable ({type(e).__name__}); "
+                f"retry {i + 1}/{attempts}",
+                flush=True,
+            )
             time.sleep(pause_s)
 
 
 def main():
+    # Probe BEFORE this process initializes its own backend: a blocked
+    # backend init is not recoverable in-process.
+    _wait_for_backend()
     import jax
 
     # Persistent jit cache: warm re-runs skip unchanged-program compiles
     # (the warmup batch isolates compile time from the timings either way).
     jax.config.update("jax_compilation_cache_dir", "/tmp/mcpower_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    _wait_for_backend()
 
     from mcpower_tpu.engine import lower
     from mcpower_tpu.engine.spec import ClusterStatic
