@@ -190,3 +190,121 @@ def to_html(spec: Dict, title: str = "MCPower plot") -> str:
 </head><body><div id="vis"></div>
 <script>vegaEmbed('#vis', {json.dumps(spec)});</script>
 </body></html>"""
+
+
+# Print-friendly theme configs merged into a spec's "config" block by
+# apply_theme. "light-print" mirrors the reference port's default save_plot
+# theme (ports/py/mcpower/output/results.py:163): white background, dark
+# axis text sized for print.
+_THEMES = {
+    "light-print": {
+        "background": "white",
+        "axis": {
+            "labelColor": "#1a1a1a",
+            "titleColor": "#1a1a1a",
+            "labelFontSize": 12,
+            "titleFontSize": 13,
+            "gridColor": "#d9d9d9",
+        },
+        "legend": {"labelColor": "#1a1a1a", "titleColor": "#1a1a1a"},
+        "title": {"color": "#1a1a1a"},
+    },
+}
+
+
+def apply_theme(spec: Dict, theme) -> Dict:
+    """Return a copy of ``spec`` with the named theme's config merged in
+    (spec-level config keys win). ``theme=None`` returns the spec unchanged
+    ("theme-naked" output, same contract as the reference's save_plot)."""
+    if theme is None:
+        return spec
+    if theme not in _THEMES:
+        raise ValueError(
+            f"unknown theme {theme!r}; available: {sorted(_THEMES)} or None"
+        )
+    themed = dict(spec)
+    cfg = dict(_THEMES[theme])
+    for k, v in (spec.get("config") or {}).items():
+        if isinstance(v, dict) and isinstance(cfg.get(k), dict):
+            cfg[k] = {**cfg[k], **v}
+        else:
+            cfg[k] = v
+    themed["config"] = cfg
+    return themed
+
+
+def page_html(specs: Dict[str, Dict], title: str = "MCPower plots") -> str:
+    """One standalone vega-embed page stacking every spec in the bundle
+    (the reference's .plot() writes the same stacked, CDN-backed page)."""
+    divs = []
+    embeds = []
+    for i, (name, spec) in enumerate(specs.items()):
+        divs.append(f'<h3 style="font-family:sans-serif">{name}</h3>'
+                    f'<div id="vis{i}"></div>')
+        embeds.append(f"vegaEmbed('#vis{i}', {json.dumps(spec)});")
+    body = "\n".join(divs)
+    script = "\n".join(embeds)
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
+<script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
+<script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
+</head><body>{body}
+<script>{script}</script>
+</body></html>"""
+
+
+def save_plot_files(
+    specs: Dict[str, Dict],
+    path: str,
+    *,
+    theme="light-print",
+    scale: float = 2.0,
+    ppi=None,
+    title: str = "MCPower plots",
+) -> None:
+    """Render a plot bundle to file(s), dispatched on the path suffix.
+
+    ``.html``/``.htm`` writes ONE stacked self-contained page (no optional
+    dependency). ``.svg``/``.png``/``.pdf`` need the optional ``vl-convert``
+    renderer and write one file per plot block with derived names
+    (``out.png`` -> ``out.power_bars.png`` ...), mirroring the reference's
+    save_plot contract (ports/py/mcpower/output/results.py:163-176)."""
+    import os
+
+    themed = {k: apply_theme(s, theme) for k, s in specs.items()}
+    root, ext = os.path.splitext(path)
+    ext = ext.lower()
+    if ext in (".html", ".htm"):
+        with open(path, "w") as fh:
+            fh.write(page_html(themed, title=title))
+        return
+    if ext not in (".svg", ".png", ".pdf"):
+        raise ValueError(
+            f"save_plot: unsupported suffix {ext!r} (use .html, .svg, .png, "
+            "or .pdf)"
+        )
+    try:
+        import vl_convert as vlc
+    except ImportError as e:
+        raise ImportError(
+            "save_plot to .svg/.png/.pdf needs the optional vl-convert "
+            "renderer (pip install vl-convert-python); .html output has no "
+            "extra dependency"
+        ) from e
+    for name, spec in themed.items():
+        out = f"{root}.{name}{ext}" if len(themed) > 1 else path
+        if ext == ".svg":
+            data = vlc.vegalite_to_svg(vl_spec=json.dumps(spec))
+            with open(out, "w") as fh:
+                fh.write(data)
+        elif ext == ".png":
+            data = vlc.vegalite_to_png(
+                vl_spec=json.dumps(spec), scale=scale, ppi=ppi or 72
+            )
+            with open(out, "wb") as fh:
+                fh.write(data)
+        else:
+            data = vlc.vegalite_to_pdf(vl_spec=json.dumps(spec))
+            with open(out, "wb") as fh:
+                fh.write(data)

@@ -52,6 +52,103 @@ class ResultBase(dict):
     def to_dict(self) -> Dict[str, Any]:
         return dict(self)
 
+    # -- export surface (reference ports/py/mcpower/output/results.py) ------
+
+    def plots(self) -> Dict[str, Dict]:
+        raise NotImplementedError
+
+    def save_plot(
+        self, path: str, *, theme="light-print", scale: float = 2.0, ppi=None
+    ) -> None:
+        """Render this result's chart(s) to file(s) (png / svg / pdf / html,
+        dispatched by suffix). ``.html`` is dependency-free (stacked
+        vega-embed page); the other formats need the optional vl-convert
+        renderer. ``theme=None`` gives theme-naked specs. Mirrors the
+        reference's save_plot contract (results.py:163-176)."""
+        from .plotting import save_plot_files
+
+        save_plot_files(
+            self.plots(), path, theme=theme, scale=scale, ppi=ppi,
+            title=f"MCPower {self._kind} plots",
+        )
+
+    def plot(self, path: str = None) -> None:
+        """No path: write ``find_{power,sample_size}.html`` in the working
+        directory (stacked, CDN-backed — the reference's .plot() behavior).
+        With a path: delegate to save_plot."""
+        if path is None:
+            name = (
+                "find_power.html" if self._kind == "power"
+                else "find_sample_size.html"
+            )
+            self.save_plot(name)
+            print(f"wrote {name}")
+        else:
+            self.save_plot(path)
+
+    def to_latex(self) -> str:
+        """Booktabs-style LaTeX table of to_dataframe() (the reference
+        roadmaps this export; here it is implemented)."""
+        df = self.to_dataframe()
+        cols = list(df.columns)
+        lines = [
+            "\\begin{tabular}{l" + "r" * (len(cols) - 1) + "}",
+            "\\toprule",
+            " & ".join(_latex_escape(str(c)) for c in cols) + " \\\\",
+            "\\midrule",
+        ]
+        for _, row in df.iterrows():
+            cells = []
+            for c in cols:
+                v = row[c]
+                if v is None or (isinstance(v, float) and v != v):
+                    cells.append("--")
+                elif isinstance(v, float):
+                    cells.append(f"{v:.3f}")
+                else:
+                    cells.append(_latex_escape(str(v)))
+            lines.append(" & ".join(cells) + " \\\\")
+        lines += ["\\bottomrule", "\\end{tabular}"]
+        return "\n".join(lines)
+
+    def to_pdf(self, path: str) -> None:
+        """Typeset to_latex() to a one-page PDF. Needs a LaTeX engine
+        (pdflatex / tectonic) on PATH; raises with guidance otherwise."""
+        import os
+        import shutil
+        import subprocess
+        import tempfile
+
+        engine = shutil.which("pdflatex") or shutil.which("tectonic")
+        if engine is None:
+            raise RuntimeError(
+                "to_pdf needs a LaTeX engine (pdflatex or tectonic) on PATH; "
+                "use to_latex() to get the table source instead"
+            )
+        doc = (
+            "\\documentclass{article}\\usepackage{booktabs}"
+            "\\pagestyle{empty}\\begin{document}\n"
+            + self.to_latex()
+            + "\n\\end{document}\n"
+        )
+        with tempfile.TemporaryDirectory() as td:
+            tex = os.path.join(td, "result.tex")
+            with open(tex, "w") as fh:
+                fh.write(doc)
+            subprocess.run(
+                [engine, "-interaction=batchmode", "result.tex"]
+                if "pdflatex" in engine
+                else [engine, "result.tex"],
+                cwd=td,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            shutil.copyfile(os.path.join(td, "result.pdf"), path)
+
+    def to_dataframe(self):
+        raise NotImplementedError
+
 
 class PowerResult(ResultBase):
     _kind = "power"
@@ -68,6 +165,34 @@ class PowerResult(ResultBase):
             iter(self["scenarios"].values())
         )
         return power_plot_set(res)
+
+    def to_dataframe(self):
+        """Long-format (test x scenario [x sample_size]) frame — the
+        reference's column contract (test, scenario, power, ci_lo, ci_hi;
+        results.py:142-161: the corrected arm when a correction is active,
+        else uncorrected), plus a sample_size column when the run evaluated
+        a multi-point grid."""
+        import pandas as pd
+
+        rows = []
+        for scen, res in _scenario_trees(self).items():
+            corr = res.get("alpha_correction", "none") != "none"
+            pkey = "corrected" if corr else "uncorrected"
+            ckey = f"ci_{pkey}"
+            sizes = res.get("sample_sizes", [None])
+            for g, n in enumerate(sizes):
+                for i, lab in enumerate(res.get("target_labels", [])):
+                    ci = res["powers"][ckey][g][i]
+                    row = {"test": lab, "scenario": scen}
+                    if len(sizes) > 1:
+                        row["sample_size"] = n
+                    row.update(
+                        power=float(res["powers"][pkey][g][i]),
+                        ci_lo=float(ci[0]),
+                        ci_hi=float(ci[1]),
+                    )
+                    rows.append(row)
+        return pd.DataFrame(rows)
 
 
 class SampleSizeResult(ResultBase):
@@ -92,6 +217,52 @@ class SampleSizeResult(ResultBase):
         )
         return sample_size_plot_set(res)
 
+    def to_dataframe(self):
+        """Long-format (test x scenario x required_n x ci_lo/ci_hi) frame.
+
+        The reference's export conventions (results.py:230-271):
+        required_n is n_achievable for a fitted crossing, the first_achieved
+        N for a non-monotone (or missing) fit, and NA otherwise
+        (not_reached / at_or_below_min render as sentinel rows in the text
+        report and have no single integer to export); CI bounds are
+        outward-rounded integers for fitted crossings only. All three
+        columns use pandas nullable Int64."""
+        import math
+
+        import pandas as pd
+
+        rows = []
+        for scen, res in _scenario_trees(self).items():
+            fitted = res.get("fitted") or {}
+            first = res.get("first_achieved") or {}
+            for lab in res.get("target_labels", []):
+                f = fitted.get(lab)
+                kind = f.get("kind") if f else None
+                if kind == "fitted":
+                    req = f.get("n_achievable")
+                elif f is None or kind == "non_monotone":
+                    req = first.get(lab)
+                else:
+                    req = None
+                if kind == "fitted" and f.get("ci_lo") is not None:
+                    ci_lo = math.floor(f["ci_lo"])
+                    ci_hi = math.ceil(f["ci_hi"]) if f.get("ci_hi") is not None else None
+                else:
+                    ci_lo = ci_hi = None
+                rows.append(
+                    {
+                        "test": lab,
+                        "scenario": scen,
+                        "required_n": req,
+                        "ci_lo": ci_lo,
+                        "ci_hi": ci_hi,
+                    }
+                )
+        df = pd.DataFrame(rows)
+        for col in ("required_n", "ci_lo", "ci_hi"):
+            df[col] = df[col].astype("Int64")
+        return df
+
 
 def wrap_result(tree: Dict, kind: str) -> ResultBase:
     """Wrap a folded result tree (or scenario envelope) by result kind."""
@@ -114,6 +285,17 @@ _TD = "text-align:left;padding:2px 10px"
 
 def _pct(x: float) -> str:
     return f"{100.0 * x:.1f}%"
+
+
+_LATEX_SPECIALS = {
+    "&": "\\&", "%": "\\%", "$": "\\$", "#": "\\#", "_": "\\_",
+    "{": "\\{", "}": "\\}", "~": "\\textasciitilde{}",
+    "^": "\\textasciicircum{}", "\\": "\\textbackslash{}",
+}
+
+
+def _latex_escape(s: str) -> str:
+    return "".join(_LATEX_SPECIALS.get(c, c) for c in s)
 
 
 def _scenario_trees(result: Dict) -> Dict[str, Dict]:
