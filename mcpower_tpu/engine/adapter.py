@@ -188,7 +188,16 @@ def contract_to_lowered(
                 raise AdapterError(f"unknown test design term {term!r}")
             test_term_to_fitpos[ti] = len(fit_cols)
             fit_cols.append(col)
-        term_to_fitpos = test_term_to_fitpos
+        # Targets reference GENERATION design terms (contract/types.py test
+        # spec); re-key them to fit positions by the engine COLUMN each
+        # generation term denotes. Keying by test-term index (the old bug)
+        # crashed when a kept target followed a dropped term and silently
+        # tested the WRONG column when test_formula reordered predictors.
+        term_to_fitpos = {
+            ti: fit_cols.index(col)
+            for ti, col in term_to_col.items()
+            if col in fit_cols
+        }
         fit_cols_t = tuple(fit_cols)
     else:
         fit_cols_t = None

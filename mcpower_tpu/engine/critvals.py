@@ -185,6 +185,11 @@ def build_crit_table(
             else [np.nan] * k,
             dtype=np.float64,
         )
+        if ks.shape == (0,) and n_targets == 0:
+            # no marginal/contrast t^2 targets (e.g. "overall,
+            # all-contrasts": contrasts ride the posthoc block) — pad the
+            # placeholder row the table always carries
+            ks = np.full(k, np.nan)
         if ks.shape != (k,):
             raise ValueError(
                 f"tukey_k_per_target must have one k per target ({k}); got "

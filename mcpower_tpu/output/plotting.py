@@ -212,6 +212,11 @@ _THEMES = {
 }
 
 
+def available_themes():
+    """Theme names accepted by save_plot/apply_theme (plus None)."""
+    return sorted(_THEMES)
+
+
 def apply_theme(spec: Dict, theme) -> Dict:
     """Return a copy of ``spec`` with the named theme's config merged in
     (spec-level config keys win). ``theme=None`` returns the spec unchanged
