@@ -35,7 +35,9 @@ def _design_from_upload(registry, upload, y_name: str):
         if col.kind == "factor":
             for lvl in range(1, col.n_levels):
                 cols.append((col.values == lvl).astype(np.float64))
-                names.append(f"{name}[{lvl + 1}]")
+                names.append(
+                    f"{name}[{registry.factor_level_label(name, lvl + 1)}]"
+                )
         else:
             cols.append(col.values)
             names.append(name)
@@ -46,7 +48,10 @@ def _design_from_upload(registry, upload, y_name: str):
         for label, parts in registry.interaction_effect_names(t["vars"]):
             prod = np.ones(upload.n_rows)
             for v, lvl in parts:
-                key = v if lvl == 0 else f"{v}[{lvl}]"
+                key = (
+                    v if lvl == 0
+                    else f"{v}[{registry.factor_level_label(v, lvl)}]"
+                )
                 prod = prod * cols[name_to_idx[key]]
             cols.append(prod)
             names.append(label)

@@ -41,6 +41,8 @@ class UploadedColumn:
     proportions: List[float] = field(default_factory=list)
     mean: float = 0.0
     sd: float = 1.0
+    # factor level display labels (sorted data values); [] elsewhere
+    labels: List[str] = field(default_factory=list)
 
 
 @dataclass
@@ -54,25 +56,95 @@ class UploadedData:
         return np.column_stack([self.columns[n].values for n in names])
 
 
+def _coerce_column(name: str, v: Any) -> np.ndarray:
+    """float64 array when every value parses as a number; otherwise an
+    object array of stripped strings (a string column is a factor — the
+    reference's numeric probe, ports/py/mcpower/data/upload.py:173)."""
+    try:
+        return np.asarray(v, dtype=np.float64)
+    except (ValueError, TypeError):
+        pass
+    vals = []
+    for x in np.asarray(v, dtype=object).ravel():
+        if x is None:
+            raise UploadError(f"column {name!r} contains missing values")
+        s = str(x).strip()
+        if not s:
+            raise UploadError(f"column {name!r} contains empty values")
+        vals.append(s)
+    return np.asarray(vals, dtype=object)
+
+
+def _read_delimited(path) -> Dict[str, list]:
+    """stdlib csv read of a .csv/.tsv file: header row -> column names
+    (reference normalize_upload_input, upload.py:86)."""
+    import csv
+    import os
+
+    delim = "\t" if str(path).lower().endswith((".tsv", ".tab")) else ","
+    with open(os.fspath(path), newline="") as fh:
+        rows = list(csv.reader(fh, delimiter=delim))
+    if len(rows) < 2:
+        raise UploadError("delimited file needs a header row and data rows")
+    names = [c.strip() for c in rows[0]]
+    cols: Dict[str, list] = {n: [] for n in names}
+    for r in rows[1:]:
+        if not any(c.strip() for c in r):
+            continue  # trailing blank line
+        if len(r) != len(names):
+            raise UploadError("delimited file has ragged rows")
+        for n, c in zip(names, r):
+            cols[n].append(c.strip())
+    return cols
+
+
 def _as_columns(data: Any) -> Dict[str, np.ndarray]:
-    """Accept dict-of-lists, list-of-dicts, 2-D array + names, pandas-like."""
+    """Accept dict-of-lists, list-of-dicts, a .csv/.tsv path, pandas-like."""
+    import os
+
+    if isinstance(data, (str, os.PathLike)):
+        data = _read_delimited(data)
     if hasattr(data, "to_dict") and hasattr(data, "columns"):  # pandas duck-type
-        return {str(c): np.asarray(data[c], dtype=np.float64) for c in data.columns}
+        return {str(c): _coerce_column(str(c), data[c]) for c in data.columns}
     if isinstance(data, dict):
-        return {str(k): np.asarray(v, dtype=np.float64) for k, v in data.items()}
+        return {str(k): _coerce_column(str(k), v) for k, v in data.items()}
     if isinstance(data, list) and data and isinstance(data[0], dict):
         keys = list(data[0])
         return {
-            k: np.asarray([row[k] for row in data], dtype=np.float64) for k in keys
+            k: _coerce_column(k, [row[k] for row in data]) for k in keys
         }
     raise UploadError(
-        "upload_data expects a dict of columns, a list of row dicts, or a "
-        "DataFrame-like object"
+        "upload_data expects a dict of columns, a list of row dicts, a "
+        "csv/tsv path, or a DataFrame-like object"
     )
 
 
+def value_to_label(v) -> str:
+    """Canonical string label for a factor level value: int-valued floats
+    render without the trailing .0 ("4", not "4.0"); strings pass through
+    (reference upload.py:9 value_to_label)."""
+    try:
+        fv = float(v)
+    except (ValueError, TypeError):
+        return str(v)
+    return str(int(fv)) if fv == int(fv) else str(fv)
+
+
 def detect_column_kind(values: np.ndarray) -> Tuple[str, Dict[str, Any]]:
-    """binary (2 unique values) / factor (few integer levels) / continuous."""
+    """Reference detection rules (ports/py/mcpower/data/upload.py:150):
+
+    - a non-numeric (string) column is a factor, sorted string labels;
+    - numeric with exactly 2 distinct values is binary;
+    - numeric with <= max_factor_k_soft distinct values AND
+      n_rows/n_distinct >= max_factor_ratio is a factor (no integrality
+      requirement — 1.5/2.5/3.5 codes are levels too);
+    - otherwise continuous.
+    """
+    if values.dtype == object:
+        labels = sorted(set(str(v) for v in values))
+        if len(labels) < 2:
+            raise UploadError("uploaded column is constant")
+        return "factor", {"labels": labels}
     finite = values[np.isfinite(values)]
     if finite.size != values.size:
         raise UploadError("uploaded data contains missing/non-finite values")
@@ -82,11 +154,11 @@ def detect_column_kind(values: np.ndarray) -> Tuple[str, Dict[str, Any]]:
     if uniq.size == 2:
         return "binary", {"levels": uniq}
     max_k = int(CONFIG["upload"]["max_factor_k_soft"])
-    is_integral = np.allclose(finite, np.round(finite))
-    if is_integral and uniq.size <= max_k:
+    if uniq.size <= max_k:
         ratio = finite.size / uniq.size
         if ratio >= CONFIG["upload"]["max_factor_ratio"]:
-            return "factor", {"levels": uniq}
+            return "factor", {"levels": uniq,
+                              "labels": [value_to_label(u) for u in uniq]}
     return "continuous", {}
 
 
@@ -143,6 +215,11 @@ def prepare_upload(
                 raise UploadError(
                     f"column {name!r} declared factor but looks continuous"
                 )
+            if d in ("continuous", "binary") and values.dtype == object:
+                raise UploadError(
+                    f"column {name!r} declared {d} but holds non-numeric "
+                    "values"
+                )
             if d == "continuous":
                 kind = "continuous"
             else:
@@ -157,7 +234,7 @@ def prepare_upload(
                 name=name, kind="binary", values=v01, param=p
             )
         elif kind == "factor":
-            uniq = np.unique(values)
+            uniq = np.unique(values)  # sorted; works for strings too
             codes = np.searchsorted(uniq, values).astype(np.float64)
             props = [float(np.mean(codes == i)) for i in range(uniq.size)]
             min_count = CONFIG["limits"]["factor_min_level_count"]
@@ -172,6 +249,8 @@ def prepare_upload(
                 values=codes,
                 n_levels=int(uniq.size),
                 proportions=props,
+                labels=info.get("labels")
+                or [value_to_label(u) for u in uniq],
             )
         else:
             mu = float(values.mean())

@@ -394,19 +394,30 @@ class MCPower:
         # but only predictor columns drive generation
         self._uploaded = up
         # type-lock: detection updates the registry's view of uploaded columns
-        for n, col in up.columns.items():
-            if n not in self._registry.predictor_names:
+        self._lock_uploaded_types(self._registry)
+        return self
+
+    def _lock_uploaded_types(self, reg) -> None:
+        """Write uploaded-column detection into ``reg``. Called from
+        upload_data AND from every _apply(): _apply rebuilds the registry
+        from the pending declarations, which would otherwise silently drop
+        the detected factor levels/labels as soon as any later setter
+        re-applies."""
+        if self._uploaded is None:
+            return
+        for n, col in self._uploaded.columns.items():
+            if n not in reg.predictor_names:
                 continue
             if col.kind == "factor":
-                self._registry.set_variable_type(
+                reg.set_variable_type(
                     n, {"type": "factor", "n_levels": col.n_levels,
-                        "proportions": list(col.proportions)},
+                        "proportions": list(col.proportions),
+                        "labels": list(col.labels)},
                 )
             elif col.kind == "binary":
-                self._registry.set_variable_type(
+                reg.set_variable_type(
                     n, {"type": "binary", "proportion": col.param}
                 )
-        return self
 
     def get_effects_from_data(self, y: Optional[str] = None, *, verbose: bool = True) -> str:
         """Fit the model to the uploaded pilot data and return a standardized
@@ -457,6 +468,7 @@ class MCPower:
                 raise ValueError("; ".join(errors))
             for it in items:
                 reg.set_variable_type(it.key, it.value)
+        self._lock_uploaded_types(reg)
         self._registry = reg
 
         self._effects = {}

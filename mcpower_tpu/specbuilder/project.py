@@ -178,7 +178,7 @@ def build_contracts(
         if registry.var_info(name)["type"] == "factor":
             for lvl in range(2, registry.factor_levels(name) + 1):
                 design.append(("dummy", col_of[name], lvl - 1))
-                label = f"{name}[{lvl}]"
+                label = f"{name}[{registry.factor_level_label(name, lvl)}]"
                 term_of_effect[label] = len(design) - 1
                 coeffs.append(float(effects.get(label, 0.0)))
         else:
@@ -193,7 +193,10 @@ def build_contracts(
         for label, parts in registry.interaction_effect_names(t["vars"]):
             comp_terms = []
             for v, lvl in parts:
-                key = v if lvl == 0 else f"{v}[{lvl}]"
+                key = (
+                    v if lvl == 0
+                    else f"{v}[{registry.factor_level_label(v, lvl)}]"
+                )
                 if key not in term_of_effect:
                     raise ValueError(
                         f"interaction component {key!r} has no main design term"
@@ -342,12 +345,15 @@ def build_contracts(
     posthoc_labels: Dict[str, List[str]] = {}
     for fname in tests.get("posthoc_factors", []):
         k = registry.factor_levels(fname)
-        terms = [term_of_effect[f"{fname}[{lvl}]"] for lvl in range(2, k + 1)]
+        terms = [term_of_effect[d] for d in registry.dummy_names(fname)]
         posthoc_specs.append(PosthocSpec(factor_column=col_of[fname], terms=terms))
         labels = []
+        lab = registry.factor_level_label
         for a in range(1, k + 1):
             for b in range(a + 1, k + 1):
-                labels.append(f"{fname}[{a}] vs {fname}[{b}]")
+                labels.append(
+                    f"{fname}[{lab(fname, a)}] vs {fname}[{lab(fname, b)}]"
+                )
         posthoc_labels[fname] = labels
 
     frame = None

@@ -67,8 +67,21 @@ class VariableRegistry:
         k = self.factor_levels(name)
         return list(self._types[name].get("proportions", [1.0 / k] * k))
 
+    def factor_level_label(self, name: str, lvl: int) -> str:
+        """Display label for 1-based level ``lvl``: the uploaded data value
+        when pilot data supplied the levels (reference tables.py
+        _factor_label — "with uploaded data the labels are the data
+        values"), else the 1-based integer."""
+        labels = self._types[name].get("labels")
+        if labels and 1 <= lvl <= len(labels):
+            return str(labels[lvl - 1])
+        return str(lvl)
+
     def dummy_names(self, name: str) -> List[str]:
-        return [f"{name}[{lvl}]" for lvl in range(2, self.factor_levels(name) + 1)]
+        return [
+            f"{name}[{self.factor_level_label(name, lvl)}]"
+            for lvl in range(2, self.factor_levels(name) + 1)
+        ]
 
     # ---- effect naming ----
     def interaction_effect_names(self, vars_: Sequence[str]) -> List[Tuple[str, List[Tuple[str, int]]]]:
@@ -80,7 +93,10 @@ class VariableRegistry:
         for v in vars_:
             if self._types[v]["type"] == "factor":
                 per_var.append(
-                    [(v, lvl, f"{v}[{lvl}]") for lvl in range(2, self.factor_levels(v) + 1)]
+                    [
+                        (v, lvl, f"{v}[{self.factor_level_label(v, lvl)}]")
+                        for lvl in range(2, self.factor_levels(v) + 1)
+                    ]
                 )
             else:
                 per_var.append([(v, 0, v)])

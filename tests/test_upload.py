@@ -227,3 +227,114 @@ def test_min_rows_guard():
     m = MCPower("y ~ x1")
     with pytest.raises(UploadError, match="rows"):
         m.upload_data(tiny)
+
+
+# ---------------------------------------------------------------------------
+# Reference detection-rule parity (golden upload_type_detection cases) +
+# string factors with data-value labels
+# ---------------------------------------------------------------------------
+
+
+def test_detection_golden_rules():
+    """The reference's detection rule set (upload.py:150, pinned by its
+    tests/golden/upload_type_detection.json): string columns are factors
+    with sorted labels; 2-distinct numerics are binary; few-distinct
+    numerics need the rows/distinct ratio; many-distinct integers stay
+    continuous."""
+    rs = np.random.RandomState(0)
+    # 60 distinct continuous values
+    kind, _ = detect_column_kind(rs.normal(size=60))
+    assert kind == "continuous"
+    # 0/1 -> binary
+    kind, _ = detect_column_kind(np.asarray([0, 1] * 30, dtype=float))
+    assert kind == "binary"
+    # numeric levels with high reuse -> factor, int-rendered labels
+    vals = np.asarray([4, 4, 6, 6, 8, 8] * 10, dtype=float)
+    kind, info = detect_column_kind(vals)
+    assert kind == "factor" and info["labels"] == ["4", "6", "8"]
+    # string column -> factor, sorted labels
+    s = np.asarray(["USA", "Japan", "Europe"] * 20, dtype=object)
+    kind, info = detect_column_kind(s)
+    assert kind == "factor" and info["labels"] == ["Europe", "Japan", "USA"]
+    # 20 distinct over 60 rows: ratio 3 < 15 -> continuous even though ints
+    many = np.asarray(list(range(20)) * 3, dtype=float)
+    kind, _ = detect_column_kind(many)
+    assert kind == "continuous"
+    # NON-integral few-level codes are still factors (no integrality rule)
+    half = np.asarray([1.5, 2.5, 3.5] * 20)
+    kind, info = detect_column_kind(half)
+    assert kind == "factor" and info["labels"] == ["1.5", "2.5", "3.5"]
+
+
+def test_string_factor_upload_end_to_end():
+    """String factor columns ride the whole pipeline: codes for the engine,
+    data-value labels for effect names / posthoc ('with uploaded data the
+    labels are the data values')."""
+    rs = np.random.RandomState(5)
+    n = 150
+    region = np.asarray(["USA", "Japan", "Europe"], dtype=object)[
+        rs.randint(0, 3, size=n)
+    ]
+    x = rs.normal(size=n)
+    y = rs.normal(size=n)
+    m = MCPower("y ~ region + x")
+    m.set_simulations(200).set_seed(3)
+    m.upload_data({"region": region, "x": x, "y": y})
+    # labels become the addressable effect names (sorted: Europe=reference)
+    assert m.effect_names[:2] == ["region[Japan]", "region[USA]"]
+    m.set_effects("region[Japan]=0.4, region[USA]=0.2, x=0.3")
+    res = m.find_power(
+        sample_size=120, target_test="all, all-contrasts", verbose=False
+    )
+    assert res["target_labels"][:2] == ["region[Japan]", "region[USA]"]
+    assert set(res["posthoc"]["region"]) == {
+        "region[Europe] vs region[Japan]",
+        "region[Europe] vs region[USA]",
+        "region[Japan] vs region[USA]",
+    }
+
+
+def test_upload_type_lock_survives_later_setters():
+    """_apply rebuilds the registry; uploaded detection must be re-locked
+    (regression: a set_effects AFTER upload_data silently dropped the
+    detected factor levels/labels)."""
+    rs = np.random.RandomState(7)
+    n = 120
+    g = np.asarray(["lo", "mid", "hi"], dtype=object)[rs.randint(0, 3, n)]
+    m = MCPower("y ~ g")
+    m.set_simulations(150)
+    m.upload_data({"g": g, "y": rs.normal(size=n)})
+    m.set_effects("g[lo]=0.5, g[mid]=0.3")  # sorted labels: hi = reference
+    m.set_seed(9)  # another setter round-trip
+    res = m.find_power(sample_size=100, verbose=False)
+    assert res["target_labels"] == ["g[lo]", "g[mid]"]
+
+
+def test_csv_path_upload(tmp_path):
+    rs = np.random.RandomState(11)
+    n = 80
+    path = tmp_path / "pilot.csv"
+    with open(path, "w") as fh:
+        fh.write("x,arm,y\n")
+        for i in range(n):
+            fh.write(
+                f"{rs.normal():.6f},{'treat' if i % 2 else 'ctrl'},"
+                f"{rs.normal():.6f}\n"
+            )
+    m = MCPower("y ~ x + arm")
+    m.set_simulations(100)
+    m.upload_data(str(path))
+    up = m._uploaded
+    assert up.columns["x"].kind == "continuous"
+    # 2-level STRING column is a factor (string branch precedes binary)
+    assert up.columns["arm"].kind == "factor"
+    assert up.columns["arm"].labels == ["ctrl", "treat"]
+
+
+def test_declared_numeric_on_string_column_raises():
+    s = np.asarray(["a", "b", "c"] * 20, dtype=object)
+    with pytest.raises(UploadError, match="non-numeric"):
+        prepare_upload(
+            {"g": s, "x": np.random.RandomState(0).normal(size=60)},
+            declared_types={"g": "normal"},
+        )
