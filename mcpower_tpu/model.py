@@ -827,6 +827,21 @@ class MCPower:
             "effects": dict(self._effects),
             "residual": self._residual[0],
             "target_power": self.power,
+            # per-factor label store for the report's factor-header rows
+            # (baseline = level 1; labels are the uploaded data values when
+            # pilot data supplied the levels)
+            "factors": {
+                fname: {
+                    "baseline": self._registry.factor_level_label(fname, 1),
+                    "levels": [
+                        self._registry.factor_level_label(fname, lvl)
+                        for lvl in range(
+                            1, self._registry.factor_levels(fname) + 1
+                        )
+                    ],
+                }
+                for fname in self._registry.factor_names
+            },
         }
 
     def _package(self, results: Dict[str, Dict], names: List[str], kind: str):

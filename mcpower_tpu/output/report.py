@@ -282,6 +282,31 @@ def _robustness_section(result: Dict, corrected: bool) -> List[str]:
 # ---------------------------------------------------------------------------
 
 
+def _with_factor_headers(labels, factors):
+    """Display plan for a per-test table: ``[(idx_or_None, text)]``. A
+    value-less header row ``fname (baseline: X)`` precedes each factor's
+    first dummy row and the dummy rows indent beneath it (the reference's
+    build_rows factor_header, ports/py/mcpower/output/tables.py:389);
+    non-factor targets pass through unchanged."""
+    rows = []
+    seen = set()
+    for i, t in enumerate(labels):
+        fname = None
+        if "[" in t and t.endswith("]") and " vs " not in t and ":" not in t:
+            cand = t.split("[", 1)[0]
+            if cand in (factors or {}):
+                fname = cand
+        if fname is None:
+            rows.append((i, t))
+            continue
+        if fname not in seen:
+            base = factors[fname].get("baseline")
+            rows.append((None, f"{fname} (baseline: {base})" if base else fname))
+            seen.add(fname)
+        rows.append((i, "  " + t))
+    return rows
+
+
 def power_report(result: Dict, alpha: float = 0.05) -> str:
     """Single-N power report (optionally multi-scenario)."""
     meta = _meta_of(result)
@@ -313,8 +338,15 @@ def power_report(result: Dict, alpha: float = 0.05) -> str:
                 (_COLS["ci"], "r"),
             ]
         rows = []
-        for i, t in enumerate(res["target_labels"]):
-            row = [t]
+        plan = _with_factor_headers(
+            res["target_labels"], meta.get("factors") or {}
+        )
+        for i, disp in plan:
+            if i is None:
+                rows.append(("span", disp))
+                continue
+            t = res["target_labels"][i]
+            row = [disp]
             if show_or:
                 row.append(_fmt_or(effects[t]) if t in effects else "")
             row += [
@@ -451,11 +483,19 @@ def sample_size_report(result: Dict, target_power: float = 80.0) -> str:
                     ),
                 )
             )
-        for t in res["target_labels"]:
+        plan = _with_factor_headers(
+            res["target_labels"], meta.get("factors") or {}
+        )
+        for i, disp in plan:
+            if i is None:
+                rows.append(("span", disp))
+                continue
+            t = res["target_labels"][i]
             fit = res["fitted"][t]
             first = res["first_achieved"].get(t)
             rows.append(
-                ("row", _required_n_cells(t, fit, first, floor_n, ceiling, notes))
+                ("row",
+                 _required_n_cells(disp, fit, first, floor_n, ceiling, notes))
             )
         out.append(
             _table(

@@ -130,3 +130,38 @@ def test_joint_per_k_derivation_matches_tail_sums():
     f2 = res["first_joint_achieved"][1]
     if f1 is not None and f2 is not None:
         assert f1 <= f2
+
+
+def test_factor_header_rows_with_baseline():
+    """Factor dummies group under a value-less header naming the baseline
+    level (reference build_rows factor_header, tables.py:389); with
+    uploaded data the header shows the data-value baseline."""
+    m = MCPower("y ~ g + x1")
+    m.set_variable_type("g=(factor,0.34,0.33,0.33)")
+    m.set_effects("g[2]=0.4, g[3]=0.6, x1=0.3").set_simulations(200)
+    m.set_seed(13)
+    res = m.find_power(sample_size=120, verbose=False)
+    txt = res.summary()
+    assert "g (baseline: 1)" in txt
+    assert "\n  g[2]" in txt  # indented under the header
+    # sample-size table gets the same grouping
+    res2 = m.find_sample_size(from_size=60, to_size=240, n_sims=200,
+                              verbose=False)
+    assert "g (baseline: 1)" in res2.summary()
+
+
+def test_factor_header_uses_uploaded_labels():
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    n = 120
+    region = np.asarray(["USA", "Japan", "Europe"], dtype=object)[
+        rs.randint(0, 3, n)
+    ]
+    m = MCPower("y ~ region")
+    m.set_simulations(150).set_seed(2)
+    m.upload_data({"region": region, "y": rs.normal(size=n)})
+    m.set_effects("region[Japan]=0.4, region[USA]=0.2")
+    txt = m.find_power(sample_size=100, verbose=False).summary()
+    assert "region (baseline: Europe)" in txt
+    assert "region[Japan]" in txt
