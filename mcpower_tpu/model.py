@@ -97,6 +97,7 @@ class MCPower:
         self._corr_pairs: List[Tuple[Tuple[str, str], float]] = []
         self._pending_baseline_probability: Optional[float] = None
         self._pending_baseline_rate: Optional[float] = None
+        self._scale_warned: set = set()
         self.intercept: float = 0.0
         self._clusters: Dict[str, Dict[str, Any]] = {}
         self._uploaded = None
@@ -482,6 +483,7 @@ class MCPower:
                 raise ValueError("; ".join(errors))
             for it in items:
                 self._effects[it.key] = it.value
+        self._warn_effect_scale(reg)
 
         self._corr_matrix = None
         self._corr_pairs = []
@@ -627,6 +629,16 @@ class MCPower:
         sample_size = int(sample_size)
         if sample_size < 2:
             raise ValueError("sample_size must be >= 2")
+        # Green's rule of thumb (reference validators.py:165, hard error):
+        # N >= 15 + p where p counts design-matrix columns excl. intercept.
+        n_variables = len(self._registry.effect_names)
+        min_required = 15 + n_variables
+        if sample_size < min_required:
+            raise ValueError(
+                f"sample_size={sample_size} is below the minimum for this "
+                f"model: need at least 15 + {n_variables} predictors = "
+                f"{min_required} observations (Green's rule)"
+            )
         wald_se_r, nagq = self._resolve_estimation(wald_se, agq)
         names = self._resolve_scenarios_arg(scenarios)
         projected = self._project(
@@ -813,6 +825,43 @@ class MCPower:
                 f"(> max_failed_simulations={self.max_failed_simulations}); "
                 "the design is likely unstable at this N"
             )
+
+    def _warn_effect_scale(self, reg) -> None:
+        """Two-tier scale-mismatch warning for logit/probit effects
+        (reference validators.py:386): |β|>5 on any effect looks like an
+        input error (OR > ~150); |β|>3 on an all-continuous effect looks
+        like a raw-scale OR pasted where a standardized log-odds belongs.
+        Each message fires once per model instance."""
+        if self.family not in ("logit", "probit"):
+            return
+        non_cont = set(reg.factor_names) | {
+            n for n in reg.predictor_names
+            if reg.var_info(n)["type"] == "binary"
+        }
+
+        def all_continuous(name: str) -> bool:
+            base = name.split("[", 1)[0]
+            return all(
+                p.split("[", 1)[0] not in non_cont for p in name.split(":")
+            ) and base not in non_cont
+
+        for name, beta in self._effects.items():
+            if abs(beta) > 5.0:
+                msg = (
+                    f"effect {name}={beta} has |β|>5 (odds ratio > ~150) — "
+                    "logit effects are log-odds; check for an input error"
+                )
+            elif abs(beta) > 3.0 and all_continuous(name):
+                msg = (
+                    f"effect {name}={beta} has |β|>3 (odds ratio > ~20) on a "
+                    "standardized continuous predictor — a raw-scale odds "
+                    "ratio may have been pasted where a log-odds belongs"
+                )
+            else:
+                continue
+            if msg not in self._scale_warned:
+                self._scale_warned.add(msg)
+                _warnings.warn(msg, UserWarning, stacklevel=3)
 
     def _run_meta(self) -> Dict[str, Any]:
         """Run-level metadata for the report header (the reference port's

@@ -273,3 +273,58 @@ def test_removed_setters_raise_instructive_errors():
         m.set_bogus
     # __getattr__ must not shadow real attributes or break copying/pickling
     assert m.set_seed(7) is m
+
+
+def test_greens_rule_minimum_sample_size():
+    """find_power enforces N >= 15 + p (reference validators.py:165 — a
+    hard error, not a warning): p counts design-matrix columns excluding
+    the intercept, factor dummies and interactions included."""
+    import pytest
+
+    m = MCPower("y ~ x1 + x2")
+    m.set_effects("x1=0.4, x2=0.3").set_simulations(50)
+    with pytest.raises(ValueError, match="Green"):
+        m.find_power(sample_size=16, verbose=False)  # < 15 + 2
+    m.find_power(sample_size=17, verbose=False)  # == 15 + 2 passes
+
+    f = MCPower("y ~ g")
+    f.set_variable_type("g=(factor,5)")
+    f.set_effects("g[2]=0.4").set_simulations(50)
+    with pytest.raises(ValueError, match="Green"):
+        f.find_power(sample_size=18, verbose=False)  # p = 4 dummies -> 19
+
+
+def test_logit_effect_scale_warning_tiers():
+    """Two-tier scale warning (reference validators.py:386): |β|>5 on any
+    logit effect; |β|>3 only on all-continuous effects. Binary predictors
+    at |β|=4 stay silent; gaussian models never warn."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = MCPower("y ~ x", family="logit")
+        m.set_effects("x=6.0").set_simulations(20)
+        m._ensure_applied()
+    assert any("|β|>5" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = MCPower("y ~ x", family="logit")
+        m.set_effects("x=4.0").set_simulations(20)
+        m._ensure_applied()
+    assert any("|β|>3" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = MCPower("y ~ b", family="logit")
+        m.set_variable_type("b=binary")
+        m.set_effects("b=4.0").set_simulations(20)
+        m._ensure_applied()
+    assert not any("|β|" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = MCPower("y ~ x")  # gaussian: β is in SD units, no OR reading
+        m.set_effects("x=6.0").set_simulations(20)
+        m._ensure_applied()
+    assert not any("|β|" in str(x.message) for x in w)
