@@ -337,6 +337,11 @@ class MCPower:
                 )
         if n_clusters is not None and cluster_size is not None:
             raise ValueError("pass either n_clusters= or cluster_size=, not both")
+        if n_clusters is None and cluster_size is None and n_per_parent is None:
+            raise ValueError(
+                "Must specify n_clusters= or cluster_size= (or n_per_parent= "
+                "for a nested child grouping)"
+            )
         if n_clusters is not None and n_clusters < CONFIG["limits"]["min_clusters"]:
             raise ValueError(
                 f"n_clusters must be >= {CONFIG['limits']['min_clusters']}"
@@ -596,6 +601,19 @@ class MCPower:
                 )
         return projected
 
+    def _require_cluster_sizing(self) -> None:
+        """Every formula-declared grouping needs a set_cluster call before a
+        run (reference: find_power without set_cluster raises) — otherwise
+        the DGP would silently generate without the random effect."""
+        missing = [
+            g for g in self._registry.grouping_names if g not in self._clusters
+        ]
+        if missing:
+            raise ValueError(
+                f"random-effect grouping(s) {missing} have no sizing: call "
+                "set_cluster() for each grouping in the formula before running"
+            )
+
     def _primary_cluster(self):
         if not self._clusters:
             return None
@@ -626,6 +644,7 @@ class MCPower:
     ) -> Dict[str, Any]:
         """Estimate power at a single sample size."""
         self._ensure_applied()
+        self._require_cluster_sizing()
         sample_size = int(sample_size)
         if sample_size < 2:
             raise ValueError("sample_size must be >= 2")
@@ -699,6 +718,7 @@ class MCPower:
     ) -> Dict[str, Any]:
         """Search the smallest N reaching target power (CRN grid search)."""
         self._ensure_applied()
+        self._require_cluster_sizing()
         ssb = CONFIG["simulation"]["sample_size_bounds"]
         from_size = int(from_size) if from_size is not None else ssb["from"]
         to_size = int(to_size) if to_size is not None else ssb["to"]
@@ -948,6 +968,7 @@ class MCPower:
         from .orchestrator.debug import STAGES, debug_report
 
         self._ensure_applied()
+        self._require_cluster_sizing()
         ps = self._project(
             [scenario], target_test=None, correction=None, wald_se="rx", nagq=1
         )[0]

@@ -328,3 +328,35 @@ def test_logit_effect_scale_warning_tiers():
         m.set_effects("x=6.0").set_simulations(20)
         m._ensure_applied()
     assert not any("|β|" in str(x.message) for x in w)
+
+
+def test_set_cluster_requires_a_sizing_argument():
+    import pytest
+
+    m = MCPower("y ~ x1 + (1|school)", family="lme")
+    m.set_effects("x1=0.5")
+    with pytest.raises(ValueError, match="Must specify"):
+        m.set_cluster("school", ICC=0.2)
+
+
+def test_lme_find_power_without_set_cluster_raises():
+    """family='lme' with a formula grouping but no set_cluster call fails
+    fast at find_power — the DGP would otherwise silently generate
+    without the random effect."""
+    import pytest
+
+    m = MCPower("y ~ x1 + (1|school)", family="lme")
+    m.set_effects("x1=0.5").set_simulations(50)
+    with pytest.raises(ValueError, match="set_cluster"):
+        m.find_power(sample_size=100, verbose=False)
+    # clustered logit gets the same guard
+    g = MCPower("y ~ x1 + (1|site)", family="logit")
+    g.set_effects("x1=0.5").set_simulations(50)
+    with pytest.raises(ValueError, match="set_cluster"):
+        g.find_power(sample_size=100, verbose=False)
+    # sizing only ONE of two declared groupings still fails, naming the gap
+    c = MCPower("y ~ x + (1|subject) + (1|item)", family="lme")
+    c.set_effects("x=0.3").set_simulations(50)
+    c.set_cluster("subject", ICC=0.2, n_clusters=10)
+    with pytest.raises(ValueError, match="item"):
+        c.find_power(sample_size=100, verbose=False)
