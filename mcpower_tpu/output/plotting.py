@@ -32,6 +32,7 @@ def power_bars(result: Dict, *, corrected: bool = False, g: int = 0) -> Dict:
                 "ci_hi": 100.0 * hi,
             }
         )
+    target = 100.0 * result.get("target_power", 0.8)
     return {
         "$schema": _SCHEMA,
         "description": f"Per-test power ({which})",
@@ -56,6 +57,13 @@ def power_bars(result: Dict, *, corrected: bool = False, g: int = 0) -> Dict:
                     "y": {"field": "ci_lo", "type": "quantitative", "title": ""},
                     "y2": {"field": "ci_hi"},
                 },
+            },
+            {
+                # target-power reference rule (the reference's find_power
+                # spec carries the same dashed line)
+                "mark": {"type": "rule", "strokeDash": [6, 4]},
+                "data": {"values": [{"target": target}]},
+                "encoding": {"y": {"field": "target", "type": "quantitative"}},
             },
         ],
     }
@@ -163,6 +171,53 @@ def exactly_k_curves(result: Dict, *, corrected: bool = False) -> Dict:
     }
 
 
+def power_curves_overlay(scenarios: Dict[str, Dict], *, corrected: bool = True) -> Dict:
+    """Scenario-envelope overlay: one line per (test, scenario), scenarios
+    distinguished by dash pattern (the reference's multi-scenario
+    sample-size view is the same overlay)."""
+    which = "corrected" if corrected else "uncorrected"
+    rows = []
+    target = 80.0
+    for scen, result in scenarios.items():
+        target = 100.0 * result.get("target_power", 0.8)
+        for gi, n in enumerate(result["sample_sizes"]):
+            for i, t in enumerate(result["target_labels"]):
+                rows.append(
+                    {
+                        "N": n,
+                        "test": t,
+                        "scenario": scen,
+                        "power": 100.0 * result["powers"][which][gi][i],
+                    }
+                )
+    return {
+        "$schema": _SCHEMA,
+        "description": f"Power vs sample size by scenario ({which})",
+        "data": {"values": rows},
+        "layer": [
+            {
+                "mark": {"type": "line", "point": True},
+                "encoding": {
+                    "x": {"field": "N", "type": "quantitative", "title": "Sample size"},
+                    "y": {
+                        "field": "power",
+                        "type": "quantitative",
+                        "title": "Power (%)",
+                        "scale": {"domain": [0, 100]},
+                    },
+                    "color": {"field": "test", "type": "nominal"},
+                    "strokeDash": {"field": "scenario", "type": "nominal"},
+                },
+            },
+            {
+                "mark": {"type": "rule", "strokeDash": [6, 4]},
+                "data": {"values": [{"target": target}]},
+                "encoding": {"y": {"field": "target", "type": "quantitative"}},
+            },
+        ],
+    }
+
+
 def power_plot_set(result: Dict) -> Dict[str, Dict]:
     """The find_power plot bundle (the cross-port plot contract)."""
     out = {"power_bars": power_bars(result)}
@@ -180,6 +235,14 @@ def sample_size_plot_set(result: Dict) -> Dict[str, Dict]:
     return out
 
 
+def _embed_json(spec: Dict) -> str:
+    """JSON for inline <script> embedding: '</' is escaped so a label
+    containing '</script>' cannot terminate the tag and break (or script-
+    inject) the page — same hazard the reference's stacked-html writer
+    escapes (its test_stacked_html_escapes_script_tag)."""
+    return json.dumps(spec).replace("</", "<\\/")
+
+
 def to_html(spec: Dict, title: str = "MCPower plot") -> str:
     """Standalone vega-embed HTML page for one spec."""
     return f"""<!DOCTYPE html>
@@ -188,27 +251,146 @@ def to_html(spec: Dict, title: str = "MCPower plot") -> str:
 <script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
 <script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
 </head><body><div id="vis"></div>
-<script>vegaEmbed('#vis', {json.dumps(spec)});</script>
+<script>vegaEmbed('#vis', {_embed_json(spec)});</script>
 </body></html>"""
 
 
-# Print-friendly theme configs merged into a spec's "config" block by
-# apply_theme. "light-print" mirrors the reference port's default save_plot
-# theme (ports/py/mcpower/output/results.py:163): white background, dark
-# axis text sized for print.
+# The four cross-port plot themes, byte-derived from the reference's
+# single-source configs/plot-themes.json (config truth data, same
+# verbatim-loading precedent as the scenario presets): print variants
+# carry a colorblind-safe category range; app variants restyle for the
+# GUI host's light/dark chrome.
 _THEMES = {
     "light-print": {
-        "background": "white",
-        "axis": {
-            "labelColor": "#1a1a1a",
-            "titleColor": "#1a1a1a",
-            "labelFontSize": 12,
-            "titleFontSize": 13,
-            "gridColor": "#d9d9d9",
+        "background": "#ffffff",
+        "font": "sans-serif",
+        "view": {
+            "stroke": "transparent"
         },
-        "legend": {"labelColor": "#1a1a1a", "titleColor": "#1a1a1a"},
-        "title": {"color": "#1a1a1a"},
+        "axis": {
+            "labelColor": "#000000",
+            "titleColor": "#000000",
+            "tickColor": "#000000",
+            "domainColor": "#000000",
+            "gridColor": "#dddddd"
+        },
+        "legend": {
+            "labelColor": "#000000",
+            "titleColor": "#000000"
+        },
+        "range": {
+            "category": [
+                "#0072B2",
+                "#E69F00",
+                "#009E73",
+                "#D55E00",
+                "#56B4E9",
+                "#CC79A7",
+                "#F0E442",
+                "#000000"
+            ]
+        }
     },
+    "dark-print": {
+        "background": "#1e1e1e",
+        "font": "sans-serif",
+        "view": {
+            "stroke": "transparent"
+        },
+        "axis": {
+            "labelColor": "#e0e0e0",
+            "titleColor": "#ffffff",
+            "tickColor": "#888888",
+            "domainColor": "#888888",
+            "gridColor": "#3a3a3a"
+        },
+        "legend": {
+            "labelColor": "#e0e0e0",
+            "titleColor": "#ffffff"
+        },
+        "range": {
+            "category": [
+                "#56B4E9",
+                "#E69F00",
+                "#00C49A",
+                "#F0772E",
+                "#F0E442",
+                "#D0D0D0"
+            ]
+        }
+    },
+    "light-app": {
+        "background": "#ffffff",
+        "view": {
+            "stroke": "transparent"
+        },
+        "mark": {
+            "color": "#c2356b"
+        },
+        "range": {
+            "category": [
+                "#c2356b",
+                "#3d7d6e",
+                "#5a7a9a",
+                "#b58936",
+                "#8a909a"
+            ]
+        },
+        "axis": {
+            "labelColor": "#6a7280",
+            "titleColor": "#14161a",
+            "gridColor": "#d4dae0",
+            "domainColor": "#d4dae0",
+            "tickColor": "#d4dae0"
+        },
+        "legend": {
+            "labelColor": "#14161a",
+            "titleColor": "#14161a"
+        },
+        "header": {
+            "labelColor": "#14161a",
+            "titleColor": "#14161a"
+        },
+        "title": {
+            "color": "#14161a"
+        }
+    },
+    "dark-app": {
+        "background": "#110b1c",
+        "view": {
+            "stroke": "transparent"
+        },
+        "mark": {
+            "color": "#ff5e8a"
+        },
+        "range": {
+            "category": [
+                "#ff5e8a",
+                "#d9a55a",
+                "#9b8ad9",
+                "#6dbca5",
+                "#9b8ea0"
+            ]
+        },
+        "axis": {
+            "labelColor": "#8e8295",
+            "titleColor": "#ede5f0",
+            "gridColor": "#2a2138",
+            "domainColor": "#2a2138",
+            "tickColor": "#2a2138"
+        },
+        "legend": {
+            "labelColor": "#ede5f0",
+            "titleColor": "#ede5f0"
+        },
+        "header": {
+            "labelColor": "#ede5f0",
+            "titleColor": "#ede5f0"
+        },
+        "title": {
+            "color": "#ede5f0"
+        }
+    }
 }
 
 
@@ -241,12 +423,14 @@ def apply_theme(spec: Dict, theme) -> Dict:
 def page_html(specs: Dict[str, Dict], title: str = "MCPower plots") -> str:
     """One standalone vega-embed page stacking every spec in the bundle
     (the reference's .plot() writes the same stacked, CDN-backed page)."""
+    from html import escape
+
     divs = []
     embeds = []
     for i, (name, spec) in enumerate(specs.items()):
-        divs.append(f'<h3 style="font-family:sans-serif">{name}</h3>'
+        divs.append(f'<h3 style="font-family:sans-serif">{escape(name)}</h3>'
                     f'<div id="vis{i}"></div>')
-        embeds.append(f"vegaEmbed('#vis{i}', {json.dumps(spec)});")
+        embeds.append(f"vegaEmbed('#vis{i}', {_embed_json(spec)});")
     body = "\n".join(divs)
     script = "\n".join(embeds)
     return f"""<!DOCTYPE html>

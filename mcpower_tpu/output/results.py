@@ -210,12 +210,16 @@ class SampleSizeResult(ResultBase):
         return sample_size_report(self, target_power=tp)
 
     def plots(self) -> Dict[str, Dict]:
-        from .plotting import sample_size_plot_set
+        from .plotting import power_curves_overlay, sample_size_plot_set
 
-        res = self if "scenarios" not in self else next(
-            iter(self["scenarios"].values())
-        )
-        return sample_size_plot_set(res)
+        if "scenarios" in self:
+            # multi-scenario searches lead with the envelope overlay; the
+            # per-N detail blocks come from the baseline scenario
+            res = next(iter(self["scenarios"].values()))
+            out = {"power_curves_overlay": power_curves_overlay(self["scenarios"])}
+            out.update(sample_size_plot_set(res))
+            return out
+        return sample_size_plot_set(self)
 
     def to_dataframe(self):
         """Long-format (test x scenario x required_n x ci_lo/ci_hi) frame.

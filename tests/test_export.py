@@ -99,14 +99,14 @@ def test_save_plot_html_stacked_page(tmp_path):
     assert html.count("vegaEmbed(") == len(res.plots()) >= 2
     assert "vega-lite" in html
     # light-print theme merged into each spec's config
-    assert '"background": "white"' in html
+    assert '"background": "#ffffff"' in html
 
 
 def test_save_plot_theme_none_is_naked(tmp_path):
     res = _power_result()
     out = tmp_path / "naked.html"
     res.save_plot(str(out), theme=None)
-    assert '"background": "white"' not in out.read_text()
+    assert '"background": "#ffffff"' not in out.read_text()
 
 
 def test_save_plot_raster_needs_renderer(tmp_path):
@@ -152,3 +152,64 @@ def test_to_pdf_engine_or_clear_error(tmp_path):
     else:
         with pytest.raises(RuntimeError, match="LaTeX engine"):
             res.to_pdf(str(out))
+
+
+def test_four_cross_port_themes_match_reference_config():
+    """The theme store is byte-derived from the single-source
+    configs/plot-themes.json (config truth data, like the scenario
+    presets): exactly the four names, dark-print carrying the documented
+    palette."""
+    from mcpower_tpu.output import plotting
+
+    assert set(plotting.available_themes()) == {
+        "light-print", "dark-print", "light-app", "dark-app"
+    }
+    dk = plotting._THEMES["dark-print"]
+    assert dk["background"] == "#1e1e1e"
+    assert dk["range"]["category"][0] == "#56B4E9"
+    with pytest.raises(ValueError, match="unknown theme"):
+        plotting.apply_theme({}, "sepia")
+
+
+def test_embedded_json_escapes_script_close():
+    """A label containing '</script>' must not terminate the inline script
+    tag (page breakage / injection)."""
+    from mcpower_tpu.output.plotting import page_html, to_html
+
+    spec = {"data": {"values": [{"test": "</script><b>x</b>"}]}}
+    for html in (to_html(spec), page_html({"p": spec})):
+        assert "</script><b>" not in html
+        assert "<\\/script>" in html
+
+
+def test_power_bars_carry_target_rule():
+    from mcpower_tpu.output.plotting import power_bars
+
+    spec = power_bars(
+        {
+            "target_labels": ["x"],
+            "powers": {
+                "uncorrected": [[0.5]],
+                "ci_uncorrected": [[[0.4, 0.6]]],
+            },
+            "target_power": 0.9,
+        }
+    )
+    rule = spec["layer"][-1]
+    assert rule["mark"]["type"] == "rule"
+    assert rule["data"]["values"] == [{"target": 90.0}]
+
+
+def test_multi_scenario_sample_size_overlay():
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.5").set_simulations(200).set_seed(8)
+    res = m.find_sample_size(
+        from_size=40, to_size=200, scenarios=True, n_sims=200, verbose=False
+    )
+    plots = res.plots()
+    assert "power_curves_overlay" in plots
+    ov = plots["power_curves_overlay"]
+    scens = {r["scenario"] for r in ov["data"]["values"]}
+    assert scens == {"optimistic", "realistic", "doomer"}
+    enc = ov["layer"][0]["encoding"]
+    assert enc["strokeDash"]["field"] == "scenario"
