@@ -360,3 +360,24 @@ def test_lme_find_power_without_set_cluster_raises():
     c.set_cluster("subject", ICC=0.2, n_clusters=10)
     with pytest.raises(ValueError, match="item"):
         c.find_power(sample_size=100, verbose=False)
+
+
+def test_max_failed_threshold_semantics():
+    """_check_failure_threshold edge semantics (reference test suite):
+    strictly-above raises, exactly-at passes, threshold 1 never raises,
+    the WORST grid point triggers on multi-N results."""
+    import pytest
+
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.3")
+    m.max_failed_simulations = 0.10
+
+    m._check_failure_threshold({"convergence_rate": [0.90]})  # exactly at
+    m._check_failure_threshold({"convergence_rate": [0.95]})  # below
+    with pytest.raises(RuntimeError, match="failed to converge"):
+        m._check_failure_threshold({"convergence_rate": [0.85]})
+    # multi-N: the worst grid point decides
+    with pytest.raises(RuntimeError):
+        m._check_failure_threshold({"convergence_rate": [0.99, 0.80, 0.97]})
+    m.max_failed_simulations = 1.0
+    m._check_failure_threshold({"convergence_rate": [0.0]})  # never raises
