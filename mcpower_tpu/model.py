@@ -836,6 +836,31 @@ class MCPower:
             )
         return None
 
+    def _glm_baseline_drift_warning(self, res: Dict) -> Optional[str]:
+        """Warn when the realized marginal outcome rate drifts from the
+        requested baseline probability by more than the configured
+        threshold (reference diagnostic 'GLM baseline drift'): nonzero
+        predictor effects shift the marginal rate away from the intercept's
+        baseline, which surprises users sizing rare-event designs."""
+        if self._pending_baseline_probability is None:
+            return None
+        extras = (res.get("estimator_extras") or {}).get("glm") or {}
+        realized = extras.get("baseline_prob_realized")
+        if realized is None:
+            return None
+        req = self._pending_baseline_probability
+        vals = realized if isinstance(realized, (list, tuple)) else [realized]
+        worst = max(abs(float(r) - req) for r in vals)
+        thr = CONFIG["report"]["thresholds"]["glm_baseline_drift_max"]
+        if worst > thr:
+            return (
+                f"GLM baseline drift {worst:.3f}: the realized outcome rate "
+                f"deviates from the requested baseline {req} (> {thr}) — "
+                "nonzero effects shift the marginal rate; re-anchor the "
+                "baseline if the marginal prevalence matters"
+            )
+        return None
+
     def _check_failure_threshold(self, res: Dict) -> None:
         conv = res.get("convergence_rate", [1.0])
         worst = min(conv)
@@ -923,6 +948,7 @@ class MCPower:
             for w in (
                 self._upload_reuse_warning(n_max),
                 self._glmm_laplace_bias_warning(res),
+                self._glm_baseline_drift_warning(res),
             ):
                 if w and w not in res["warnings"]:
                     res["warnings"].append(w)

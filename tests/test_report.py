@@ -165,3 +165,21 @@ def test_factor_header_uses_uploaded_labels():
     txt = m.find_power(sample_size=100, verbose=False).summary()
     assert "region (baseline: Europe)" in txt
     assert "region[Japan]" in txt
+
+
+def test_glm_baseline_drift_warning():
+    """Large effects shift the marginal rate away from the requested
+    baseline; beyond glm_baseline_drift_max the result carries the
+    reference's 'GLM baseline drift' diagnostic. A small-effect design
+    stays silent."""
+    m = MCPower("y ~ x1", family="logit")
+    m.set_baseline_probability(0.2)
+    m.set_effects("x1=2.5").set_simulations(300).set_seed(5)
+    res = m.find_power(sample_size=200, verbose=False)
+    assert any("baseline drift" in w for w in res["warnings"]), res["warnings"]
+
+    m2 = MCPower("y ~ x1", family="logit")
+    m2.set_baseline_probability(0.2)
+    m2.set_effects("x1=0.2").set_simulations(300).set_seed(5)
+    res2 = m2.find_power(sample_size=200, verbose=False)
+    assert not any("baseline drift" in w for w in res2["warnings"])
