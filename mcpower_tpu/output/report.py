@@ -518,6 +518,115 @@ def sample_size_report(result: Dict, target_power: float = 80.0) -> str:
     return "\n".join(out)
 
 
+def short_report(result: Dict) -> str:
+    """Compact repr form (the reference's render_short, tables.py:592):
+    one model line plus a minimal [Test | Power (| corrected) (| OR) |
+    Target] table — no CI columns; scenario columns when multi-scenario;
+    sample-size results show the Required-N headline instead; diagnostic
+    warnings compress to '! ... — see summary()' lines."""
+    kind = result.get("result_kind", "power")
+    meta = _meta_of(result)
+    scenarios = _scenarios_of(result)
+    names = list(scenarios)
+    inner0 = scenarios[names[0]]
+    multi = len(names) > 1
+    target = meta.get("target_power", 80.0)
+    tcell = f"{target:.0f}%"
+    show_or = meta.get("outcome_kind") == "binary"
+    effects = meta.get("effects") or {}
+    corrected = any(
+        r.get("alpha_correction", "none") != "none" for r in scenarios.values()
+    )
+
+    n0 = (inner0.get("sample_sizes") or ["?"])[0]
+    head = (
+        f"MCPower · {meta.get('formula', result.get('formula', ''))} · "
+        f"{str(meta.get('estimator', '')).upper()}"
+        + (f" · N={n0}" if kind == "power" else "")
+        + f" · sims={inner0.get('n_sims', '?')}"
+        + f" · α={meta.get('alpha', result.get('alpha', 0.05))}"
+    )
+
+    plan = _with_factor_headers(
+        inner0.get("target_labels", []), meta.get("factors") or {}
+    )
+
+    def or_cell(t):
+        return [_fmt_or(effects[t]) if t in effects else ""] if show_or else []
+
+    rows: List[Tuple[str, object]] = []
+    if kind == "sample_size":
+        cols = [(_COLS["test"], "l"), (_COLS["required_n"], "r"),
+                (_COLS["target"], "r")]
+        notes: set = set()
+        floor_n = min(inner0.get("sample_sizes") or [0])
+        ceiling = max(inner0.get("sample_sizes") or [0]) or None
+        for i, disp in plan:
+            if i is None:
+                rows.append(("span", disp))
+                continue
+            t = inner0["target_labels"][i]
+            cells = _required_n_cells(
+                disp, inner0["fitted"][t],
+                inner0["first_achieved"].get(t), floor_n, ceiling, notes,
+            )
+            rows.append(("row", [cells[0], cells[1], tcell]))
+    elif multi:
+        cols = (
+            [(_COLS["test"], "l")]
+            + [(nm, "r") for nm in names]
+            + ([(_COLS["or"], "r")] if show_or else [])
+            + [(_COLS["target"], "r")]
+        )
+        pkey = "corrected" if corrected else "uncorrected"
+        for i, disp in plan:
+            if i is None:
+                rows.append(("span", disp))
+                continue
+            t = inner0["target_labels"][i]
+            vals = [
+                _pct(scenarios[nm]["powers"][pkey][0][i]) for nm in names
+            ]
+            rows.append(("row", [disp] + vals + or_cell(t) + [tcell]))
+    else:
+        cols = (
+            [(_COLS["test"], "l")]
+            + ([("Uncorr.", "r"), ("Corr.", "r")] if corrected
+               else [(_COLS["power"], "r")])
+            + ([(_COLS["or"], "r")] if show_or else [])
+            + [(_COLS["target"], "r")]
+        )
+        if inner0.get("overall_significant_rate") is not None:
+            # the omnibus is a single test — correction does not apply
+            cells = [_overall_label(inner0, meta),
+                     _pct(inner0["overall_significant_rate"][0])]
+            if corrected:
+                cells.append("(same)")
+            if show_or:
+                cells.append("")
+            rows.append(("row", cells + [tcell]))
+        for i, disp in plan:
+            if i is None:
+                rows.append(("span", disp))
+                continue
+            t = inner0["target_labels"][i]
+            cells = [disp, _pct(inner0["powers"]["uncorrected"][0][i])]
+            if corrected:
+                cells.append(_pct(inner0["powers"]["corrected"][0][i]))
+            rows.append(("row", cells + or_cell(t) + [tcell]))
+
+    out = [head, _table(None, cols, rows)]
+    warns = []
+    for nm in names:
+        for w in _diagnostics(scenarios[nm]):
+            msg = w.lstrip("⚠ ").strip()
+            warns.append(
+                f"! {f'{nm}: {msg}' if multi else msg} — see summary()"
+            )
+    out.extend(warns)
+    return "\n".join(out)
+
+
 def _required_n_cells(
     label: str, fit: Dict, first, floor_n, ceiling, notes: set
 ) -> List[str]:

@@ -22,8 +22,16 @@ class ResultBase(dict):
         """Formatted text report (what verbose=True prints)."""
         raise NotImplementedError
 
-    def __repr__(self) -> str:  # keep the notebook/print surface compact
-        return self.summary()
+    def __repr__(self) -> str:
+        """Compact short form (the reference's repr contract: short on
+        repr/auto-print, long via .summary())."""
+        from .report import short_report
+
+        return short_report(self)
+
+    def short(self) -> str:
+        """The short-form text explicitly (same as repr)."""
+        return repr(self)
 
     def _repr_html_(self) -> str:
         return _html_report(self)

@@ -183,3 +183,21 @@ def test_glm_baseline_drift_warning():
     m2.set_effects("x1=0.2").set_simulations(300).set_seed(5)
     res2 = m2.find_power(sample_size=200, verbose=False)
     assert not any("baseline drift" in w for w in res2["warnings"])
+
+
+def test_short_form_repr():
+    """repr() is the compact short form (reference render_short):
+    model line, no CI columns, '(same)' for the omnibus corrected cell,
+    Target column; summary() stays the long form."""
+    m = MCPower("y ~ x1 + x2")
+    m.set_effects("x1=0.5, x2=0.3").set_simulations(200).set_seed(2)
+    res = m.find_power(sample_size=120, correction="holm", verbose=False)
+    short = repr(res)
+    assert short.startswith("MCPower · y ~ x1 + x2 · OLS · N=120")
+    assert "(same)" in short            # omnibus corrected cell
+    assert "Uncorr." in short and "Corr." in short
+    assert "CI 95%" not in short        # no CI columns in the short form
+    assert "Target" in short and "80%" in short
+    assert res.short() == short
+    long = res.summary()
+    assert "CI 95%" in long             # the long form keeps them
