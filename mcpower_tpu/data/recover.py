@@ -64,11 +64,26 @@ def _design_from_upload(registry, upload, y_name: str):
 
 
 def recover_effects(
-    registry, upload, y_name: str, family: str
-) -> Tuple[Dict[str, float], str]:
+    registry, upload, y_name: str, family: str, cluster_ids=None
+):
+    """Fit the canonical design to the pilot bytes.
+
+    Returns ``(effects, diag)`` for unclustered models, and
+    ``(effects, diag, tau_sq, sigma_sq)`` when ``cluster_ids`` is given —
+    the clustered path recovers the random-intercept variance so the
+    caller can report an estimated ICC (reference model.py clustered
+    get_effects_from_data)."""
     X, y, names = _design_from_upload(registry, upload, y_name)
     if family in ("logit", "probit") and set(np.unique(y)) != {0.0, 1.0}:
         y = (y > 0.5).astype(np.float64)
+    if cluster_ids is not None:
+        beta, tau_sq, sigma_sq, converged, diag = (
+            providedfit.fit_provided_clustered(X, y, cluster_ids, family)
+        )
+        if not converged:
+            diag += " (WARNING: fit did not converge)"
+        eff = {n: float(b) for n, b in zip(names, beta[1:])}
+        return eff, diag, float(tau_sq), float(sigma_sq)
     beta, converged, diag = providedfit.fit_provided(X, y, family)
     if not converged:
         diag += " (WARNING: fit did not converge)"

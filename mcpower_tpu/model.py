@@ -436,12 +436,60 @@ class MCPower:
             raise ValueError(f"outcome column {y_name!r} not in the uploaded data")
         from .data.recover import recover_effects
 
-        eff, diag = recover_effects(
-            self._registry, self._uploaded, y_name, self.family
-        )
+        # Clustered recovery (reference model.py:1040-1130): the uploaded
+        # data must carry the grouping column; its distinct values become
+        # contiguous cluster ids and the fit recovers the random-intercept
+        # variance alongside the fixed effects.
+        groupings = self._registry.grouping_names
+        if groupings:
+            gvar = next(iter(self._clusters), None) or groupings[0]
+            if gvar not in self._uploaded.columns:
+                raise ValueError(
+                    "clustered get_effects_from_data needs the grouping "
+                    f"column {gvar!r} present in the uploaded data"
+                )
+            gvals = np.asarray(self._uploaded.columns[gvar].values)
+            _, cluster_ids = np.unique(gvals, return_inverse=True)
+            eff, diag, tau_sq, sigma_sq = recover_effects(
+                self._registry, self._uploaded, y_name, self.family,
+                cluster_ids=cluster_ids,
+            )
+        else:
+            gvar = None
+            eff, diag = recover_effects(
+                self._registry, self._uploaded, y_name, self.family
+            )
         s = ", ".join(f"{k}={v:.4f}" for k, v in eff.items())
         if verbose:
             print(f"Recovered effects ({diag}):\n  {s}")
+            print(
+                "Note: approximations only (standardization, random-X, "
+                "sampling error) — not auto-applied; call set_effects(...) "
+                "to use them."
+            )
+            if gvar is not None and self.family != "poisson":
+                # latent-scale residual variance per family (inverse of the
+                # set_cluster ICC conversion): logit pi^2/3, probit 1,
+                # linear sigma^2_hat
+                if self.family in ("logit",):
+                    resid, note = math.pi ** 2 / 3.0, " (latent log-odds scale)"
+                elif self.family == "probit":
+                    resid, note = 1.0, " (probit latent scale)"
+                else:
+                    resid, note = sigma_sq, ""
+                icc = tau_sq / (tau_sq + resid) if tau_sq + resid > 0 else 0.0
+                n_cl = int(np.max(cluster_ids)) + 1
+                print(
+                    f"Estimated ICC{note}: {icc:.3f} — e.g. "
+                    f'set_cluster("{gvar}", ICC={icc:.3f}, '
+                    f"n_clusters={n_cl})  [approximation, not auto-applied]"
+                )
+            elif gvar is not None:
+                print(
+                    f"Estimated random-intercept variance tau^2 = "
+                    f"{tau_sq:.4f} (poisson models size the RE by "
+                    "tau_squared=, not ICC)"
+                )
         return s
 
     def set_scenario_configs(self, configs: Dict[str, Dict[str, Any]]) -> "MCPower":

@@ -338,3 +338,73 @@ def test_declared_numeric_on_string_column_raises():
             {"g": s, "x": np.random.RandomState(0).normal(size=60)},
             declared_types={"g": "normal"},
         )
+
+
+# ---------------------------------------------------------------------------
+# Clustered recovery: random-intercept variance + ICC from pilot data
+# ---------------------------------------------------------------------------
+
+
+def test_clustered_linear_recovery_icc(capsys):
+    """Linear mixed recovery on unbalanced clusters: beta near an
+    independent GLS truth and ICC near the generating value (reference
+    clustered get_effects_from_data: fixed effects + tau^2 -> ICC with a
+    set_cluster snippet)."""
+    rs = np.random.RandomState(11)
+    m_cl, icc_true = 40, 0.25
+    tau2 = icc_true / (1 - icc_true)  # sigma2 = 1
+    sizes = rs.randint(8, 25, size=m_cl)
+    cid = np.repeat(np.arange(m_cl), sizes)
+    n = cid.size
+    x = rs.normal(size=n)
+    u = rs.normal(size=m_cl) * np.sqrt(tau2)
+    y = 0.5 * x + u[cid] + rs.normal(size=n)
+
+    m = MCPower("y ~ x + (1|site)", family="lme")
+    m.set_simulations(50)
+    m.upload_data({"x": x, "site": cid.astype(float), "y": y})
+    out = m.get_effects_from_data("y")
+    text = capsys.readouterr().out
+    eff = dict(p.split("=") for p in out.split(", "))
+    # y is z-scored on upload; the standardized slope shrinks by sd(y)
+    sd_y = np.sqrt(0.25 + tau2 + 1.0)
+    assert abs(float(eff["x"]) - 0.5 / sd_y) < 0.08
+    assert "Estimated ICC" in text and "set_cluster" in text
+    icc_line = [l for l in text.splitlines() if "Estimated ICC" in l][0]
+    icc_hat = float(icc_line.split("ICC=")[1].split(",")[0])
+    assert abs(icc_hat - icc_true) < 0.12
+
+
+def test_clustered_logit_recovery_latent_icc(capsys):
+    rs = np.random.RandomState(5)
+    m_cl = 50
+    tau2 = 1.0  # latent ICC = 1 / (1 + pi^2/3) ~ 0.233
+    sizes = rs.randint(10, 30, size=m_cl)
+    cid = np.repeat(np.arange(m_cl), sizes)
+    n = cid.size
+    x = rs.normal(size=n)
+    u = rs.normal(size=m_cl) * np.sqrt(tau2)
+    eta = 0.8 * x + u[cid]
+    y = (rs.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+
+    m = MCPower("y ~ x + (1|clinic)", family="logit")
+    m.set_simulations(50)
+    m.upload_data({"x": x, "clinic": cid.astype(float), "y": y})
+    out = m.get_effects_from_data("y")
+    text = capsys.readouterr().out
+    eff = dict(p.split("=") for p in out.split(", "))
+    assert abs(float(eff["x"]) - 0.8) < 0.15  # conditional log-odds scale
+    assert "latent log-odds scale" in text
+    icc_line = [l for l in text.splitlines() if "Estimated ICC" in l][0]
+    icc_hat = float(icc_line.split("ICC=")[1].split(",")[0])
+    icc_true = tau2 / (tau2 + np.pi ** 2 / 3)
+    assert abs(icc_hat - icc_true) < 0.10
+
+
+def test_clustered_recovery_requires_grouping_column():
+    rs = np.random.RandomState(0)
+    m = MCPower("y ~ x + (1|site)", family="lme")
+    m.set_simulations(50)
+    m.upload_data({"x": rs.normal(size=60), "y": rs.normal(size=60)})
+    with pytest.raises(ValueError, match="grouping column"):
+        m.get_effects_from_data("y")
