@@ -56,22 +56,46 @@ class UploadedData:
         return np.column_stack([self.columns[n].values for n in names])
 
 
+_MISSING_MARKERS = {"", "na", "n/a", "nan", "null", "none", "."}
+
+
 def _coerce_column(name: str, v: Any) -> np.ndarray:
     """float64 array when every value parses as a number; otherwise an
     object array of stripped strings (a string column is a factor — the
-    reference's numeric probe, ports/py/mcpower/data/upload.py:173)."""
+    reference's numeric probe, ports/py/mcpower/data/upload.py:173).
+
+    A column that is MOSTLY numeric but carries text missing markers
+    ('NA', '', 'null', ...) raises the missing-value error instead of
+    silently re-typing the predictor as a string factor with the marker
+    as a level."""
     try:
         return np.asarray(v, dtype=np.float64)
     except (ValueError, TypeError):
         pass
     vals = []
+    any_numeric = False
+    any_marker = False
     for x in np.asarray(v, dtype=object).ravel():
-        if x is None:
-            raise UploadError(f"column {name!r} contains missing values")
-        s = str(x).strip()
-        if not s:
-            raise UploadError(f"column {name!r} contains empty values")
+        s = "" if x is None else str(x).strip()
+        if s.lower() in _MISSING_MARKERS:
+            any_marker = True
+        else:
+            try:
+                float(s)
+                any_numeric = True
+            except ValueError:
+                pass
         vals.append(s)
+    if any_marker and any_numeric:
+        # numeric column with text missing markers
+        raise UploadError(
+            f"column {name!r} contains missing values ('NA'/empty cells) — "
+            "drop or impute them before upload"
+        )
+    if any(not s for s in vals):
+        # pure-string columns only reject genuinely empty cells ('none' or
+        # 'na' could be legitimate category names)
+        raise UploadError(f"column {name!r} contains empty values")
     return np.asarray(vals, dtype=object)
 
 

@@ -101,6 +101,10 @@ class MCPower:
         self.intercept: float = 0.0
         self._clusters: Dict[str, Dict[str, Any]] = {}
         self._uploaded = None
+        # index into _pending_variable_types at upload time: declarations
+        # made AFTER upload_data override the detection lock (explicit user
+        # intent), earlier ones are superseded by it
+        self._upload_vt_index: Optional[int] = None
         self.last_result: Optional[Dict] = None
 
     def __getattr__(self, name: str) -> Any:
@@ -399,6 +403,7 @@ class MCPower:
         # extra columns (incl. a y column for get_effects_from_data) are kept
         # but only predictor columns drive generation
         self._uploaded = up
+        self._upload_vt_index = len(self._pending_variable_types)
         # type-lock: detection updates the registry's view of uploaded columns
         self._lock_uploaded_types(self._registry)
         return self
@@ -415,10 +420,26 @@ class MCPower:
             if n not in reg.predictor_names:
                 continue
             if col.kind == "factor":
+                labels = list(col.labels)
+                # labels must survive the set_effects assignment grammar —
+                # a data value containing its metacharacters would make the
+                # level unaddressable; fall back to 1-based integers
+                if any(
+                    any(ch in str(lab) for ch in ",=[]") for lab in labels
+                ):
+                    msg = (
+                        f"uploaded factor {n!r} has level values containing "
+                        "',', '=', '[' or ']' — using positional labels "
+                        f"{n}[1..{col.n_levels}] instead of the data values"
+                    )
+                    if msg not in self._scale_warned:
+                        self._scale_warned.add(msg)
+                        _warnings.warn(msg, UserWarning, stacklevel=2)
+                    labels = [str(i + 1) for i in range(col.n_levels)]
                 reg.set_variable_type(
                     n, {"type": "factor", "n_levels": col.n_levels,
                         "proportions": list(col.proportions),
-                        "labels": list(col.labels)},
+                        "labels": labels},
                 )
             elif col.kind == "binary":
                 reg.set_variable_type(
@@ -514,15 +535,27 @@ class MCPower:
 
     def _apply(self) -> None:
         reg = VariableRegistry(self._registry.formula)
-        for frag in self._pending_variable_types:
-            items, errors = parse_assignments(
-                frag, "variable_type", reg.predictor_names
-            )
-            if errors:
-                raise ValueError("; ".join(errors))
-            for it in items:
-                reg.set_variable_type(it.key, it.value)
+        idx = (
+            self._upload_vt_index
+            if self._upload_vt_index is not None
+            else len(self._pending_variable_types)
+        )
+
+        def apply_frags(frags):
+            for frag in frags:
+                items, errors = parse_assignments(
+                    frag, "variable_type", reg.predictor_names
+                )
+                if errors:
+                    raise ValueError("; ".join(errors))
+                for it in items:
+                    reg.set_variable_type(it.key, it.value)
+
+        # pre-upload declarations, then the upload detection lock, then any
+        # post-upload declarations (explicit overrides win over detection)
+        apply_frags(self._pending_variable_types[:idx])
         self._lock_uploaded_types(reg)
+        apply_frags(self._pending_variable_types[idx:])
         self._registry = reg
 
         self._effects = {}
@@ -992,6 +1025,11 @@ class MCPower:
             res["result_kind"] = kind
             res["family"] = self.family
             res["formula"] = self._registry.formula
+            # every scenario tree carries the run's target as a proportion:
+            # sample-size runs already set it (incl. per-call overrides);
+            # power runs get the model's target so plots/short-form render
+            # the real line, not a default
+            res.setdefault("target_power", self.power / 100.0)
             n_max = max(res.get("sample_sizes", [0]))
             for w in (
                 self._upload_reuse_warning(n_max),

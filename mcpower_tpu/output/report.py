@@ -530,7 +530,10 @@ def short_report(result: Dict) -> str:
     names = list(scenarios)
     inner0 = scenarios[names[0]]
     multi = len(names) > 1
-    target = meta.get("target_power", 80.0)
+    # per-run target (proportion, carries find_sample_size overrides) wins
+    # over the model default in meta (percent)
+    tp = inner0.get("target_power")
+    target = 100.0 * tp if tp is not None else meta.get("target_power", 80.0)
     tcell = f"{target:.0f}%"
     show_or = meta.get("outcome_kind") == "binary"
     effects = meta.get("effects") or {}

@@ -34,7 +34,7 @@ from ..contract.types import (
 )
 from .variables import VariableRegistry
 
-_LEVEL = _re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*)\[(\d+)\]$")
+_LEVEL = _re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*)\[(.+)\]$")
 
 
 @dataclass
@@ -460,9 +460,18 @@ def _slope_terms(cfg, registry, col_of) -> List[SlopeTerm]:
 
 
 def _contrast_term(token: str, registry, term_of_effect) -> Optional[int]:
-    """Map a contrast side to its design term; None = factor reference level."""
+    """Map a contrast side to its design term; None = factor reference level.
+
+    Label-aware: the reference level is the side whose bracket text equals
+    the factor's LEVEL-1 LABEL (the uploaded data value when labels came
+    from pilot data), never a literal '1' — with labels ['0','1','2'],
+    'g[1]' is the dummy for data value 1 and 'g[0]' is the baseline."""
     m = _LEVEL.match(token)
-    if m and m.group(1) in registry.factor_names and int(m.group(2)) == 1:
+    if (
+        m
+        and m.group(1) in registry.factor_names
+        and m.group(2) == registry.factor_level_label(m.group(1), 1)
+    ):
         return None
     if token in term_of_effect:
         return term_of_effect[token]

@@ -130,13 +130,14 @@ def resolve_tests(
 
 
 def _is_reference_level(token: str, registry: VariableRegistry) -> bool:
+    """True only when the bracket text is the factor's LEVEL-1 LABEL (the
+    uploaded data value when labels came from pilot data) — label-aware:
+    with labels ['0','1','2'] the baseline side is 'g[0]', and 'g[1]' is
+    a dummy, not the reference."""
     m = _re.match(r"^([A-Za-z_][A-Za-z0-9_.]*)\[(.+)\]$", token)
     if not m:
         return False
     f, lvl = m.group(1), m.group(2)
     if f not in registry.factor_names:
         return False
-    try:
-        return 1 <= int(lvl) <= registry.factor_levels(f)
-    except ValueError:
-        return False
+    return lvl == registry.factor_level_label(f, 1)

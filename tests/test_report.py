@@ -201,3 +201,27 @@ def test_short_form_repr():
     assert res.short() == short
     long = res.summary()
     assert "CI 95%" in long             # the long form keeps them
+
+
+def test_short_form_target_respects_override():
+    """find_sample_size(target_power=90): the short form's Target column
+    reads the per-run tree value, not the model default."""
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.5").set_simulations(150).set_seed(3)
+    res = m.find_sample_size(
+        from_size=40, to_size=240, n_sims=150, target_power=90,
+        verbose=False,
+    )
+    assert "90%" in repr(res) and "80%" not in repr(res)
+
+
+def test_power_result_tree_carries_target_power():
+    """Power trees carry target_power (proportion) so the plot rule and
+    short form render the model's real target."""
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.5").set_simulations(100).set_seed(3)
+    m.set_power(90)
+    res = m.find_power(sample_size=100, verbose=False)
+    assert res["target_power"] == 0.9
+    spec = res.plots()["power_bars"]
+    assert spec["layer"][-1]["data"]["values"] == [{"target": 90.0}]

@@ -408,3 +408,96 @@ def test_clustered_recovery_requires_grouping_column():
     m.upload_data({"x": rs.normal(size=60), "y": rs.normal(size=60)})
     with pytest.raises(ValueError, match="grouping column"):
         m.get_effects_from_data("y")
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions (round-3 adversarial review)
+# ---------------------------------------------------------------------------
+
+
+def test_numeric_levels_contrast_resolves_by_label():
+    """Factor uploaded with data values 0/1/2: labels are '0','1','2', so
+    'g[0]' is the baseline and 'g[1]' is a DUMMY — the old numeric-
+    reference shortcut silently treated g[1] as the baseline (wrong
+    contrast, no error)."""
+    rs = np.random.RandomState(2)
+    n = 150
+    g = rs.randint(0, 3, size=n).astype(float)
+    m = MCPower("y ~ g")
+    m.set_simulations(200).set_seed(4)
+    m.upload_data({"g": g, "y": rs.normal(size=n)})
+    m.set_effects("g[1]=0.6, g[2]=0.6")
+    res = m.find_power(
+        sample_size=120, target_test="g[1] vs g[0], g[1] vs g[2]",
+        verbose=False,
+    )
+    by = dict(zip(res["target_labels"], res["powers"]["uncorrected"][0]))
+    # g[1] vs baseline carries the 0.6 effect; g[1] vs g[2] is a true null
+    assert by["g[1] vs g[0]"] > 0.5
+    assert by["g[1] vs g[2]"] < 0.2
+    # and the string-label baseline form resolves instead of erroring
+    rs2 = np.random.RandomState(3)
+    region = np.asarray(["USA", "Japan", "Europe"], dtype=object)[
+        rs2.randint(0, 3, n)
+    ]
+    m2 = MCPower("y ~ region")
+    m2.set_simulations(100).set_seed(5)
+    m2.upload_data({"region": region, "y": rs2.normal(size=n)})
+    m2.set_effects("region[Japan]=0.5")
+    r2 = m2.find_power(
+        sample_size=100, target_test="region[Japan] vs region[Europe]",
+        verbose=False,
+    )
+    assert r2["target_labels"] == ["region[Japan] vs region[Europe]"]
+
+
+def test_numeric_column_with_na_markers_raises():
+    rs = np.random.RandomState(0)
+    vals = [1.2, 3.4, "NA", 5.6] * 20
+    with pytest.raises(UploadError, match="missing values"):
+        prepare_upload({"x": vals, "y": rs.normal(size=80)})
+    # pure-string categories named 'none' stay a legitimate factor
+    cats = ["none", "low", "high"] * 30
+    up = prepare_upload({"g": np.asarray(cats, dtype=object),
+                         "y": rs.normal(size=90)})
+    assert up.columns["g"].labels == ["high", "low", "none"]
+
+
+def test_post_upload_variable_type_overrides_detection():
+    """An explicit set_variable_type AFTER upload_data must win over the
+    detection lock (it was a silent no-op)."""
+    rs = np.random.RandomState(9)
+    n = 120
+    g = rs.randint(1, 4, size=n).astype(float)  # detected factor
+    m = MCPower("y ~ g")
+    m.set_simulations(100)
+    m.upload_data({"g": g, "y": rs.normal(size=n)})
+    assert m._registry.var_info("g")["type"] == "factor"
+    m.set_variable_type("g=normal")
+    m.set_effects("g=0.3")
+    m._ensure_applied()
+    assert m._registry.var_info("g")["type"] == "normal"
+    # a PRE-upload declaration also wins — via the declared-type lock
+    # (prepare_upload coerces the uploaded column to the declared type)
+    m2 = MCPower("y ~ g")
+    m2.set_variable_type("g=normal")
+    m2.set_simulations(100)
+    m2.upload_data({"g": g, "y": rs.normal(size=n)})
+    m2._ensure_applied()
+    assert m2._registry.var_info("g")["type"] == "normal"
+    assert m2._uploaded.columns["g"].kind == "continuous"
+
+
+def test_metacharacter_labels_fall_back_to_integers():
+    import warnings as _w
+
+    rs = np.random.RandomState(1)
+    n = 90
+    g = np.asarray(["a=b", "c, d", "e"], dtype=object)[rs.randint(0, 3, n)]
+    m = MCPower("y ~ g")
+    m.set_simulations(100)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        m.upload_data({"g": g, "y": rs.normal(size=n)})
+    assert any("positional labels" in str(x.message) for x in w)
+    assert m.effect_names == ["g[2]", "g[3]"]  # addressable again
