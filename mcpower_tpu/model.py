@@ -694,6 +694,15 @@ class MCPower:
                 f"random-effect grouping(s) {missing} have no sizing: call "
                 "set_cluster() for each grouping in the formula before running"
             )
+        # Poisson designs must anchor the count scale explicitly (reference:
+        # 'baseline rate required' at find_power) — a silent rate-1 default
+        # materially changes power.
+        if self.family == "poisson" and self._pending_baseline_rate is None:
+            raise ValueError(
+                "baseline rate required for family='poisson': call "
+                "set_baseline_rate(r) to anchor the expected count at the "
+                "predictor means (the intercept is log r)"
+            )
 
     def _primary_cluster(self):
         if not self._clusters:

@@ -381,3 +381,12 @@ def test_max_failed_threshold_semantics():
         m._check_failure_threshold({"convergence_rate": [0.99, 0.80, 0.97]})
     m.max_failed_simulations = 1.0
     m._check_failure_threshold({"convergence_rate": [0.0]})  # never raises
+
+
+def test_poisson_without_baseline_rate_raises():
+    import pytest
+
+    m = MCPower("y ~ x1", family="poisson")
+    m.set_effects("x1=0.3").set_simulations(50)
+    with pytest.raises(ValueError, match="baseline rate required"):
+        m.find_power(sample_size=100, verbose=False)
