@@ -83,8 +83,9 @@ def recover_effects(
         if not converged:
             diag += " (WARNING: fit did not converge)"
         eff = {n: float(b) for n, b in zip(names, beta[1:])}
-        return eff, diag, float(tau_sq), float(sigma_sq)
+        return eff, diag, float(tau_sq), float(sigma_sq), float(beta[0])
     beta, converged, diag = providedfit.fit_provided(X, y, family)
     if not converged:
         diag += " (WARNING: fit did not converge)"
-    return {n: float(b) for n, b in zip(names, beta[1:])}, diag
+    eff = {n: float(b) for n, b in zip(names, beta[1:])}
+    return eff, diag, float(beta[0])

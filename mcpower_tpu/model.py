@@ -471,13 +471,13 @@ class MCPower:
                 )
             gvals = np.asarray(self._uploaded.columns[gvar].values)
             _, cluster_ids = np.unique(gvals, return_inverse=True)
-            eff, diag, tau_sq, sigma_sq = recover_effects(
+            eff, diag, tau_sq, sigma_sq, beta0 = recover_effects(
                 self._registry, self._uploaded, y_name, self.family,
                 cluster_ids=cluster_ids,
             )
         else:
             gvar = None
-            eff, diag = recover_effects(
+            eff, diag, beta0 = recover_effects(
                 self._registry, self._uploaded, y_name, self.family
             )
         s = ", ".join(f"{k}={v:.4f}" for k, v in eff.items())
@@ -488,6 +488,21 @@ class MCPower:
                 "sampling error) — not auto-applied; call set_effects(...) "
                 "to use them."
             )
+            if self.family in ("logit", "probit"):
+                # recovered baseline probability at the predictor means
+                # (inverse link of the fitted intercept) — the quantity
+                # set_baseline_probability() reconstructs
+                if self.family == "logit":
+                    p0 = 1.0 / (1.0 + math.exp(-beta0))
+                else:
+                    from scipy import stats as _st
+
+                    p0 = float(_st.norm.cdf(beta0))
+                print(
+                    f"Estimated baseline probability: {p0:.3f} — e.g. "
+                    f"set_baseline_probability({p0:.3f})  "
+                    "[approximation, not auto-applied]"
+                )
             if gvar is not None and self.family != "poisson":
                 # latent-scale residual variance per family (inverse of the
                 # set_cluster ICC conversion): logit pi^2/3, probit 1,

@@ -140,7 +140,7 @@ def test_recover_mirror_contract_ols():
     up = prepare_upload(d)
     reg = VariableRegistry("y ~ x1 + b + g")
     reg.set_variable_type("g", {"type": "factor", "n_levels": 3})
-    eff, diag = recover_effects(reg, up, "y", "linear")
+    eff, diag, _b0 = recover_effects(reg, up, "y", "linear")
     assert "engine kernel" in diag
 
     # Rebuild the exact design the recover path fits and run the engine
@@ -501,3 +501,20 @@ def test_metacharacter_labels_fall_back_to_integers():
         m.upload_data({"g": g, "y": rs.normal(size=n)})
     assert any("positional labels" in str(x.message) for x in w)
     assert m.effect_names == ["g[2]", "g[3]"]  # addressable again
+
+
+def test_recovered_baseline_probability_note(capsys):
+    rs = np.random.RandomState(8)
+    n = 400
+    x = rs.normal(size=n)
+    eta = -0.85 + 0.5 * x  # baseline p = sigmoid(-0.85) ~ 0.30
+    y = (rs.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+    m = MCPower("y ~ x", family="logit")
+    m.set_simulations(50)
+    m.upload_data({"x": x, "y": y})
+    m.get_effects_from_data("y")
+    text = capsys.readouterr().out
+    assert "set_baseline_probability(" in text
+    p_line = [l for l in text.splitlines() if "baseline probability" in l][0]
+    p_hat = float(p_line.split("set_baseline_probability(")[1].split(")")[0])
+    assert abs(p_hat - 0.30) < 0.06
