@@ -36,6 +36,23 @@ class ResultBase(dict):
     def _repr_html_(self) -> str:
         return _html_report(self)
 
+    def _repr_mimebundle_(self, include=None, exclude=None) -> Dict[str, Any]:
+        """Jupyter rich display (reference results mimebundle): the lead
+        plot block as a light-print-themed Vega-Lite payload — power bars
+        for power results, the curve (or the multi-scenario overlay) for
+        sample-size results — alongside the HTML table and the short text
+        form."""
+        from .plotting import apply_theme
+
+        spec = next(iter(self.plots().values()))
+        return {
+            "application/vnd.vegalite.v5+json": apply_theme(
+                spec, "light-print"
+            ),
+            "text/html": _html_report(self),
+            "text/plain": repr(self),
+        }
+
     @property
     def warnings(self) -> List[str]:
         if "scenarios" in self:

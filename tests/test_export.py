@@ -213,3 +213,24 @@ def test_multi_scenario_sample_size_overlay():
     assert scens == {"optimistic", "realistic", "doomer"}
     enc = ov["layer"][0]["encoding"]
     assert enc["strokeDash"]["field"] == "scenario"
+
+
+def test_repr_mimebundle_vega_payload():
+    """Jupyter mimebundle: the lead plot block, light-print themed, plus
+    html and plain-text fallbacks (reference mimebundle contract:
+    power -> power block; multi-scenario sample-size -> overlay)."""
+    res = _power_result()
+    mb = res._repr_mimebundle_()
+    vl = mb["application/vnd.vegalite.v5+json"]
+    assert vl["config"]["background"] == "#ffffff"  # light-print applied
+    assert "power" in vl["description"].lower()
+    assert mb["text/plain"].startswith("MCPower ·")
+    assert "<table" in mb["text/html"]
+
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.5").set_simulations(150).set_seed(8)
+    ss = m.find_sample_size(
+        from_size=40, to_size=160, scenarios=True, n_sims=150, verbose=False
+    )
+    vl2 = ss._repr_mimebundle_()["application/vnd.vegalite.v5+json"]
+    assert "scenario" in vl2["description"]  # the overlay leads
