@@ -912,6 +912,24 @@ class MCPower:
             return n // max(int(cl.sizing_value), 1)
         return int(cl.sizing_value)
 
+    def _small_cluster_warning(self, res: Dict) -> Optional[str]:
+        """Reliability warning for thin clusters (reference cluster
+        validator: warn below ~10 rows per cluster): variance components
+        estimated from very few rows per group are unstable."""
+        if not self._clusters:
+            return None
+        n_min = min(res.get("sample_sizes", [0]))
+        min_size = self._min_cluster_size(n_min)
+        rel = int(CONFIG["limits"]["reliable_rows_per_cluster"])
+        rec = int(CONFIG["limits"]["recommended_rows_per_cluster"])
+        if min_size is not None and min_size < rel:
+            return (
+                f"clusters have only {min_size} rows each at N={n_min} "
+                f"(< {rel}; {rec}+ recommended) — random-effect variance "
+                "estimates will be unstable; increase N or reduce n_clusters"
+            )
+        return None
+
     def _glmm_laplace_bias_warning(self, res: Dict) -> Optional[str]:
         """Laplace-bias warning for clustered binary/count fits at nagq=1
         (reference ports/py/mcpower/model.py:111-147): fires when the
@@ -1059,6 +1077,7 @@ class MCPower:
                 self._upload_reuse_warning(n_max),
                 self._glmm_laplace_bias_warning(res),
                 self._glm_baseline_drift_warning(res),
+                self._small_cluster_warning(res),
             ):
                 if w and w not in res["warnings"]:
                     res["warnings"].append(w)

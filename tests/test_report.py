@@ -225,3 +225,16 @@ def test_power_result_tree_carries_target_power():
     assert res["target_power"] == 0.9
     spec = res.plots()["power_bars"]
     assert spec["layer"][-1]["data"]["values"] == [{"target": 90.0}]
+
+
+def test_small_cluster_warning():
+    """Thin clusters (< reliable rows each) surface a reliability warning
+    (reference cluster validator's warn-below-10); healthy sizes stay
+    silent."""
+    m = MCPower("y ~ x + (1|site)", family="lme")
+    m.set_effects("x=0.4").set_cluster("site", ICC=0.1, n_clusters=30)
+    m.set_simulations(150).set_seed(6)
+    res = m.find_power(sample_size=90, verbose=False)  # 3 rows/cluster
+    assert any("rows each" in w for w in res["warnings"]), res["warnings"]
+    res2 = m.find_power(sample_size=600, verbose=False)  # 20 rows/cluster
+    assert not any("rows each" in w for w in res2["warnings"])
