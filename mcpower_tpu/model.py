@@ -97,7 +97,7 @@ class MCPower:
         self._corr_pairs: List[Tuple[Tuple[str, str], float]] = []
         self._pending_baseline_probability: Optional[float] = None
         self._pending_baseline_rate: Optional[float] = None
-        self._scale_warned: set = set()
+        self._warned_once: set = set()
         self.intercept: float = 0.0
         self._clusters: Dict[str, Dict[str, Any]] = {}
         self._uploaded = None
@@ -432,8 +432,8 @@ class MCPower:
                         "',', '=', '[' or ']' — using positional labels "
                         f"{n}[1..{col.n_levels}] instead of the data values"
                     )
-                    if msg not in self._scale_warned:
-                        self._scale_warned.add(msg)
+                    if msg not in self._warned_once:
+                        self._warned_once.add(msg)
                         _warnings.warn(msg, UserWarning, stacklevel=2)
                     labels = [str(i + 1) for i in range(col.n_levels)]
                 reg.set_variable_type(
@@ -697,10 +697,12 @@ class MCPower:
                 )
         return projected
 
-    def _require_cluster_sizing(self) -> None:
-        """Every formula-declared grouping needs a set_cluster call before a
-        run (reference: find_power without set_cluster raises) — otherwise
-        the DGP would silently generate without the random effect."""
+    def _run_preflight(self) -> None:
+        """Run-entry preconditions shared by find_power / find_sample_size
+        / debug: every formula-declared grouping needs a set_cluster call
+        (reference: find_power without set_cluster raises — otherwise the
+        DGP silently generates without the random effect), and poisson
+        designs need an explicit baseline rate."""
         missing = [
             g for g in self._registry.grouping_names if g not in self._clusters
         ]
@@ -749,7 +751,7 @@ class MCPower:
     ) -> Dict[str, Any]:
         """Estimate power at a single sample size."""
         self._ensure_applied()
-        self._require_cluster_sizing()
+        self._run_preflight()
         sample_size = int(sample_size)
         if sample_size < 2:
             raise ValueError("sample_size must be >= 2")
@@ -823,7 +825,7 @@ class MCPower:
     ) -> Dict[str, Any]:
         """Search the smallest N reaching target power (CRN grid search)."""
         self._ensure_applied()
-        self._require_cluster_sizing()
+        self._run_preflight()
         ssb = CONFIG["simulation"]["sample_size_bounds"]
         from_size = int(from_size) if from_size is not None else ssb["from"]
         to_size = int(to_size) if to_size is not None else ssb["to"]
@@ -1008,10 +1010,9 @@ class MCPower:
         }
 
         def all_continuous(name: str) -> bool:
-            base = name.split("[", 1)[0]
             return all(
                 p.split("[", 1)[0] not in non_cont for p in name.split(":")
-            ) and base not in non_cont
+            )
 
         for name, beta in self._effects.items():
             if abs(beta) > 5.0:
@@ -1027,8 +1028,8 @@ class MCPower:
                 )
             else:
                 continue
-            if msg not in self._scale_warned:
-                self._scale_warned.add(msg)
+            if msg not in self._warned_once:
+                self._warned_once.add(msg)
                 _warnings.warn(msg, UserWarning, stacklevel=3)
 
     def _run_meta(self) -> Dict[str, Any]:
@@ -1123,7 +1124,7 @@ class MCPower:
         from .orchestrator.debug import STAGES, debug_report
 
         self._ensure_applied()
-        self._require_cluster_sizing()
+        self._run_preflight()
         ps = self._project(
             [scenario], target_test=None, correction=None, wald_se="rx", nagq=1
         )[0]
