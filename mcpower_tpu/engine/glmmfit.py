@@ -101,9 +101,161 @@ def glmm_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarra
     TPU reformulation of the glmm crate's Laplace + BOBYQA slope fits
     (crates/engine-core/src/mixed_workspace.rs:57-283).
     """
+    if spec.cluster is not None and spec.cluster.extra_groupings:
+        return _extras_glmm_grid_stats(spec, arr, X, y, ids)
     if spec.cluster is not None and spec.cluster.slopes:
         return _slope_glmm_grid_stats(spec, arr, X, y, ids)
     return _intercept_glmm_grid_stats(spec, arr, X, y, ids)
+
+
+def _extras_glmm_grid_stats(
+    spec: SimSpec, arr: Dict, X, y, ids
+) -> Dict[str, jnp.ndarray]:
+    """GLMM with crossed/nested extra groupings: joint-Z Laplace.
+
+    The TPU reformulation of the glmm crate's unified multi-grouping core
+    (the reference's engine fits binary/count designs with extra
+    groupings through the same sparse machinery as its LMM ReStructure):
+    u = Lam_all v over the stacked level-major grouping blocks — the SAME
+    joint-Z layout the LMM extras path uses (mixedfit._build_joint_z /
+    _lam_all) — with a penalized-IRLS mode solved through the M x M
+    capacitance C = I + Lam' Z'WZ Lam and a p x p Schur solve for beta:
+
+        v = C^-1 (Lam' Z'Wz - Lam' Z'WX beta)
+        Laplace dev = dev_cond + |v|^2 + log det C
+
+    The theta search is the batched fixed-iteration Nelder-Mead over the
+    stacked vech-chol(D_g) (truth-started like every other arm). Wald SEs
+    are the rx Schur covariance; AGQ is structurally ineligible here
+    (contract invariant 25) and a hessian request rides rx too.
+    """
+    from . import optim
+    from .mixedfit import (
+        _build_joint_z,
+        _grouping_plan,
+        _lam_all,
+        _theta_layout,
+        _vech_to_lower,
+    )
+
+    fit_cols = spec.effective_fit_cols
+    pf = len(fit_cols)
+    Xf = X[:, jnp.asarray(fit_cols)].astype(jnp.float64)
+    yf = y.astype(jnp.float64)
+    plan = _grouping_plan(spec)
+    M = sum(n_lv * q for n_lv, q, _, _, _ in plan)
+    Z = _build_joint_z(spec, X, ids)  # (n, M)
+    sizes, theta0, lower = _theta_layout(plan)
+    rows = jnp.arange(spec.max_n)
+    mu_var_dmu = _link_funcs(spec.outcome, spec.link)
+    eye_p = 1e-10 * jnp.eye(pf, dtype=jnp.float64)
+    eye_M = jnp.eye(M, dtype=jnp.float64)
+    q1 = plan[0][1]
+
+    if spec.scenario.truth_start:
+        beta0 = arr["effects"].astype(jnp.float64)[jnp.asarray(fit_cols)]
+    else:
+        beta0 = jnp.zeros(pf, jnp.float64)
+    v0 = jnp.zeros(M, jnp.float64)
+
+    def per_grid(n):
+        mask = (rows < n).astype(jnp.float64)
+
+        def pirls(Lam, beta, v, iters):
+            def body(_, carry):
+                beta, v = carry
+                eta = smallchol.rowmv(Xf, beta) + Z @ (Lam @ v)
+                mu, var, dmu = mu_var_dmu(eta)
+                w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                z = eta + (yf - mu) / dmu
+                wZ = Z * w[:, None]
+                C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
+                cholC = smallchol.chol(C)
+                At = Lam.T @ (wZ.T @ Xf)  # (M, p)
+                bt = Lam.T @ (wZ.T @ z)  # (M,)
+                sol_b = smallchol.cho_solve(cholC, bt)
+                sol_A = jax.vmap(
+                    lambda col: smallchol.cho_solve(cholC, col)
+                )(At.T).T
+                a_xx = smallchol.crossprod(Xf, w) - At.T @ sol_A + eye_p
+                a_xy = smallchol.colsum(Xf, w * z) - At.T @ sol_b
+                cholP = smallchol.chol(a_xx)
+                beta_new = smallchol.cho_solve(cholP, a_xy)
+                v_new = sol_b - sol_A @ beta_new
+                ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
+                    jnp.isfinite(v_new)
+                )
+                return (
+                    jnp.where(ok, beta_new, beta),
+                    jnp.where(ok, v_new, v),
+                )
+
+            beta, v = jax.lax.fori_loop(0, iters, body, (beta, v))
+            # Mode-state quantities at the converged (beta, v).
+            eta = smallchol.rowmv(Xf, beta) + Z @ (Lam @ v)
+            mu, var, dmu = mu_var_dmu(eta)
+            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+            wZ = Z * w[:, None]
+            C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
+            cholC = smallchol.chol(C)
+            At = Lam.T @ (wZ.T @ Xf)
+            sol_A = jax.vmap(
+                lambda col: smallchol.cho_solve(cholC, col)
+            )(At.T).T
+            a_xx = smallchol.crossprod(Xf, w) - At.T @ sol_A + eye_p
+            lap = (
+                _deviance(spec.outcome, yf, mu, mask)
+                + jnp.sum(v * v)
+                + smallchol.logdet_from_chol(cholC)
+            )
+            return beta, v, lap, a_xx
+
+        def dev_at(theta):
+            Lam = _lam_all(theta, plan, sizes, M)
+            _, _, lap, _ = pirls(Lam, beta0, v0, N_PIRLS_SLOPE)
+            return jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30))
+
+        theta_hat, _ = optim.nelder_mead(
+            dev_at, theta0, iters=NM_ITERS_GLMM, init_step=0.2, lower=lower
+        )
+        Lam = _lam_all(theta_hat, plan, sizes, M)
+        beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)
+        cholP = smallchol.chol(a_xx)
+        cov = smallchol.cho_inverse(cholP)
+        Lg1 = _vech_to_lower(theta_hat[: sizes[0]], q1)
+        tau2_hat = (Lg1 @ Lg1.T)[0, 0]
+        # per-component pins across ALL groupings (primary components
+        # first, then each extra grouping's), matching the LMM joint path
+        diag_entries = []
+        off = 0
+        for (_, q, _, _, _), sz in zip(plan, sizes):
+            Lg = _vech_to_lower(theta_hat[off : off + sz], q)
+            diag_entries.append(jnp.diagonal(Lg))
+            off += sz
+        pinned = jnp.concatenate(diag_entries) < 1e-3
+        boundary = jnp.any(pinned)
+        converged = (
+            jnp.all(jnp.isfinite(beta))
+            & smallchol.chol_ok(cholP)
+            & jnp.isfinite(lap)
+        )
+        ybar = jnp.sum(yf * (rows < n)) / jnp.asarray(n, jnp.float64)
+        return beta, cov, converged, boundary, tau2_hat, ybar, pinned
+
+    beta, cov, converged, boundary, tau2_hat, ybar, pinned = jax.vmap(per_grid)(
+        jnp.asarray(spec.grid, jnp.int32)
+    )
+    out = {
+        "t2": waldstats.t2_targets(spec, beta, cov),
+        "overall": waldstats.overall_wald_chi2(spec, beta, cov),
+        "converged": converged,
+        "boundary_hit": boundary,
+        "singular": boundary,
+        "tau2_hat": tau2_hat,
+        "glm_baseline": ybar,
+        "pinned_comp": pinned & converged[:, None],
+    }
+    return waldstats.add_posthoc(out, spec, beta, cov)
 
 
 def _slope_glmm_grid_stats(

@@ -168,3 +168,113 @@ def test_lexicographic_layout_matches_reference_rule():
     block = slice(0, 24)
     combos = set(zip(ids[block], want0[block], want1[block]))
     assert len(combos) == 24  # every combination exactly once
+
+
+# ---------------------------------------------------------------------------
+# GLMM (binary) with a crossed extra grouping — joint-Z Laplace parity
+# ---------------------------------------------------------------------------
+
+
+def _oracle_two_grouping_laplace_logit(X, y, Z1, Z2):
+    """Independent dense Laplace fit for a two-grouping logistic GLMM:
+    joint penalized-IRLS mode in (beta, u) with the full bordered system,
+    scipy Nelder-Mead over (log tau1, log tau2). Shares no code with the
+    engine (dense linalg, explicit block matrices)."""
+    from scipy import optimize
+
+    n, p = X.shape
+    Z = np.hstack([Z1, Z2])
+    m1, m2 = Z1.shape[1], Z2.shape[1]
+
+    def fit_at(tau1, tau2):
+        dinv = np.concatenate([np.full(m1, 1.0 / tau1), np.full(m2, 1.0 / tau2)])
+        beta = np.zeros(p)
+        u = np.zeros(m1 + m2)
+        for _ in range(80):
+            eta = X @ beta + Z @ u
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = np.maximum(mu * (1.0 - mu), 1e-10)
+            z = eta + (y - mu) / w
+            XtW = X.T * w
+            ZtW = Z.T * w
+            H = np.block(
+                [
+                    [XtW @ X, XtW @ Z],
+                    [ZtW @ X, ZtW @ Z + np.diag(dinv)],
+                ]
+            )
+            rhs = np.concatenate([XtW @ z, ZtW @ z])
+            sol = np.linalg.solve(H, rhs)
+            nb, nu = sol[:p], sol[p:]
+            if max(np.max(np.abs(nb - beta)), np.max(np.abs(nu - u))) < 1e-10:
+                beta, u = nb, nu
+                break
+            beta, u = nb, nu
+        eta = X @ beta + Z @ u
+        mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-12, 1 - 1e-12)
+        w = np.maximum(mu * (1.0 - mu), 1e-10)
+        dev_cond = -2.0 * np.sum(y * np.log(mu) + (1 - y) * np.log(1 - mu))
+        d_sqrt = np.sqrt(1.0 / dinv)
+        C = np.eye(m1 + m2) + (d_sqrt[:, None] * (Z.T * w) @ Z) * d_sqrt[None, :]
+        lap = dev_cond + u @ (dinv * u) + np.linalg.slogdet(C)[1]
+        # rx covariance: Schur complement of the u block
+        XtWZ = (X.T * w) @ Z
+        S = (X.T * w) @ X - XtWZ @ np.linalg.solve(
+            (Z.T * w) @ Z + np.diag(dinv), XtWZ.T
+        )
+        return lap, beta, np.linalg.inv(S)
+
+    res = optimize.minimize(
+        lambda lt: fit_at(np.exp(lt[0]), np.exp(lt[1]))[0],
+        np.log([0.3, 0.2]),
+        method="Nelder-Mead",
+        options={"xatol": 1e-8, "fatol": 1e-10, "maxiter": 2000},
+    )
+    t1, t2_ = np.exp(res.x)
+    lap, beta, cov = fit_at(t1, t2_)
+    return t1, t2_, beta, cov
+
+
+def test_glmm_crossed_extra_grouping_parity():
+    """Binary GLMM + crossed extra grouping: the engine's joint-Z Laplace
+    (glmmfit._extras_glmm_grid_stats) against the independent dense
+    two-grouping Laplace on the SAME bytes — tau^2 of both groupings and
+    the rx-t^2 within the fixed-budget positioning band."""
+    m, n_lv, n = 12, 8, 192
+    spec, arrays = lower.lower(
+        grid=[n],
+        var_types=["normal"],
+        effects=np.array([-0.4, 0.6]),
+        target_cols=[1],
+        estimator="glm",
+        outcome="binary",
+        cluster=ClusterStatic(
+            sizing_mode="fixed_clusters", sizing_value=m, tau_squared=0.4,
+            extra_groupings=(
+                ExtraGroupingStatic(
+                    relation="crossed", n_levels=n_lv, tau_squared=0.25
+                ),
+            ),
+        ),
+    )
+    cap = batch.run_batch_capture(spec, arrays, 3, 2137)
+    rows = np.arange(n)
+    checked = 0
+    for s in range(3):
+        X, y, ids = _gen(spec, arrays, s)
+        X, y, ids = X[:n], y[:n], ids[:n]
+        Z1 = np.eye(m)[ids]
+        eg_ids = (rows // m) % n_lv
+        Z2 = np.eye(n_lv)[eg_ids]
+        tau1_ref, tau2_ref, beta_ref, cov_ref = (
+            _oracle_two_grouping_laplace_logit(X[:, :2], y, Z1, Z2)
+        )
+        if tau1_ref < 0.02 or tau2_ref < 0.02:
+            continue  # boundary-pinned oracle: positioning bands differ
+        t2_ref = beta_ref[1] ** 2 / cov_ref[1, 1]
+        assert abs(cap["tau2_hat"][s, 0] - tau1_ref) <= 0.08 * max(
+            tau1_ref, 0.15
+        ), (s, float(cap["tau2_hat"][s, 0]), tau1_ref)
+        np.testing.assert_allclose(cap["t2"][s, 0, 0], t2_ref, rtol=0.05)
+        checked += 1
+    assert checked >= 2, "too many boundary-pinned sims to compare"

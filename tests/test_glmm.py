@@ -411,3 +411,23 @@ def test_glmm_hessian_wald_se_parity():
         cov_ref = 2.0 * np.linalg.inv(H)
         t2_ref = b_ref[1] ** 2 / cov_ref[1, 1]
         np.testing.assert_allclose(cap["t2"][s, 0, 0], t2_ref, rtol=0.05)
+
+
+def test_glmm_crossed_groupings_via_model_api():
+    """logit + (1|a) + (1|b): the clustered-logistic joint-Z Laplace path
+    through the full model surface — extras sized on the latent log-odds
+    scale, run converges, per-component pins cover both groupings."""
+    from mcpower_tpu import MCPower
+
+    m = MCPower("y ~ x + (1|site) + (1|rater)", family="logit")
+    m.set_effects("x=0.6").set_baseline_probability(0.35)
+    m.set_cluster("site", ICC=0.12, n_clusters=12)
+    m.set_cluster("rater", ICC=0.08, n_clusters=8)
+    m.set_simulations(60).set_seed(11)
+    res = m.find_power(sample_size=192, verbose=False)
+    assert res["convergence_rate"][0] > 0.8
+    p = res["powers"]["uncorrected"][0][0]
+    assert 0.2 < p <= 1.0
+    extras = res["estimator_extras"]["glm"]
+    # per-component boundary-pin rates span primary + extra groupings
+    assert len(extras["boundary_rate_per_component"][0]) == 2
