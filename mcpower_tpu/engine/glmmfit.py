@@ -161,7 +161,7 @@ def _extras_glmm_grid_stats(
     def per_grid(n):
         mask = (rows < n).astype(jnp.float64)
 
-        def pirls(Lam, beta, v, iters):
+        def pirls(Lam, beta, v, iters, want_schur=True):
             def body(_, carry):
                 beta, v = carry
                 eta = smallchol.rowmv(Xf, beta) + Z @ (Lam @ v)
@@ -191,32 +191,55 @@ def _extras_glmm_grid_stats(
                 )
 
             beta, v = jax.lax.fori_loop(0, iters, body, (beta, v))
-            # Mode-state quantities at the converged (beta, v).
+            # Mode-state quantities at the converged (beta, v). The search
+            # phase consumes only the deviance, so the (M, p) Schur-block
+            # recompute is skipped there (want_schur=False) and done once
+            # at the accepted optimum — same plan as the slope path.
             eta = smallchol.rowmv(Xf, beta) + Z @ (Lam @ v)
             mu, var, dmu = mu_var_dmu(eta)
             w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
             wZ = Z * w[:, None]
             C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
             cholC = smallchol.chol(C)
-            At = Lam.T @ (wZ.T @ Xf)
-            sol_A = jax.vmap(
-                lambda col: smallchol.cho_solve(cholC, col)
-            )(At.T).T
-            a_xx = smallchol.crossprod(Xf, w) - At.T @ sol_A + eye_p
             lap = (
                 _deviance(spec.outcome, yf, mu, mask)
                 + jnp.sum(v * v)
                 + smallchol.logdet_from_chol(cholC)
             )
+            if not want_schur:
+                return beta, v, lap, None
+            At = Lam.T @ (wZ.T @ Xf)
+            sol_A = jax.vmap(
+                lambda col: smallchol.cho_solve(cholC, col)
+            )(At.T).T
+            a_xx = smallchol.crossprod(Xf, w) - At.T @ sol_A + eye_p
             return beta, v, lap, a_xx
 
-        def dev_at(theta):
+        # Warm-carried search (the slope path's proven execution plan):
+        # every candidate evaluation starts PIRLS from the mode ACCEPTED by
+        # the previous Nelder-Mead iteration; after the full-budget phase
+        # the contracted simplex makes the carry a genuine warm start and
+        # the short-budget phase re-converges it.
+        def search_eval(theta, carry, iters):
             Lam = _lam_all(theta, plan, sizes, M)
-            _, _, lap, _ = pirls(Lam, beta0, v0, N_PIRLS_SLOPE)
-            return jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30))
+            beta, v, lap, _ = pirls(
+                Lam, carry[0], carry[1], iters, want_schur=False
+            )
+            return (
+                jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
+                (beta, v),
+            )
 
-        theta_hat, _ = optim.nelder_mead(
-            dev_at, theta0, iters=NM_ITERS_GLMM, init_step=0.2, lower=lower
+        theta_hat, _, _ = optim.nelder_mead_carry(
+            search_eval,
+            theta0,
+            (beta0, v0),
+            phases=(
+                (NM_FULL_SLOPE, N_PIRLS_SLOPE),
+                (NM_ITERS_GLMM - NM_FULL_SLOPE, N_PIRLS_SLOPE_WARM),
+            ),
+            init_step=0.2,
+            lower=lower,
         )
         Lam = _lam_all(theta_hat, plan, sizes, M)
         beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)
