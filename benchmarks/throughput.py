@@ -104,6 +104,27 @@ def _cases():
                  effects=np.array([-0.3, 0.3, 0.2])),
         )
     )
+    # crossed-extra-grouping arms (joint-Z capacitance paths)
+    from mcpower_tpu.engine.spec import ExtraGroupingStatic
+
+    cl_extras = ClusterStatic(
+        sizing_mode="fixed_clusters",
+        sizing_value=20,
+        tau_squared=0.25,
+        extra_groupings=(
+            ExtraGroupingStatic(
+                relation="crossed", n_levels=10, tau_squared=0.15
+            ),
+        ),
+    )
+    cases.append(("lmm_extras", dict(base, estimator="mle", cluster=cl_extras)))
+    cases.append(
+        (
+            "glmm_extras",
+            dict(base, estimator="glm", outcome="binary", cluster=cl_extras,
+                 effects=np.array([-0.3, 0.3, 0.2])),
+        )
+    )
     return cases
 
 
