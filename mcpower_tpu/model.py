@@ -641,7 +641,7 @@ class MCPower:
             )
             eligible = (
                 self.outcome_kind in ("binary", "count")
-                and bool(self._clusters)
+                and len(self._clusters) == 1  # single grouping only
                 and not has_slopes  # AGQ is intercept-only (lme4 parity)
                 and nagq % 2 == 1
                 and 3 <= nagq <= 25

@@ -101,3 +101,23 @@ def test_agq_via_model_api():
     m2.set_effects("x=0.3").set_simulations(50)
     with pytest.warns(UserWarning, match="not eligible"):
         m2.find_power(sample_size=60, agq=9, verbose=False)
+
+
+def test_agq_multi_grouping_warns_and_falls_back():
+    """agq on a crossed-groupings GLMM is structurally ineligible
+    (contract invariant 25): the model layer warns and runs at Laplace
+    instead of erroring at contract validation."""
+    import warnings as _w
+
+    from mcpower_tpu import MCPower
+
+    m = MCPower("y ~ x + (1|a) + (1|b)", family="logit")
+    m.set_effects("x=0.5").set_baseline_probability(0.3)
+    m.set_cluster("a", ICC=0.1, n_clusters=10)
+    m.set_cluster("b", ICC=0.1, n_clusters=8)
+    m.set_simulations(20).set_seed(3)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        res = m.find_power(sample_size=160, agq=5, verbose=False)
+    assert any("not eligible" in str(x.message) for x in w)
+    assert res["powers"]["uncorrected"][0][0] >= 0.0
