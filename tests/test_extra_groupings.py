@@ -278,3 +278,34 @@ def test_glmm_crossed_extra_grouping_parity():
         np.testing.assert_allclose(cap["t2"][s, 0, 0], t2_ref, rtol=0.05)
         checked += 1
     assert checked >= 2, "too many boundary-pinned sims to compare"
+
+
+def test_glmm_nested_extra_grouping_runs_and_recovers():
+    """Nested extra grouping on the BINARY GLMM joint-Z path: batch
+    converges and the primary latent variance is recovered at MC
+    tolerance (the nested layout flows through extra_grouping_ids exactly
+    as on the LMM path)."""
+    m, npp = 10, 3
+    spec, arrays = lower.lower(
+        grid=[300],
+        var_types=["normal"],
+        effects=np.array([-0.4, 0.6]),
+        target_cols=[1],
+        estimator="glm",
+        outcome="binary",
+        cluster=ClusterStatic(
+            sizing_mode="fixed_clusters", sizing_value=m, tau_squared=0.4,
+            extra_groupings=(
+                ExtraGroupingStatic(
+                    relation="nested", n_levels=npp, tau_squared=0.2
+                ),
+            ),
+        ),
+    )
+    counts = batch.run_batch(spec, arrays, n_sims=120, base_seed=5)
+    assert counts["converged"][0] > 0.9 * counts["n_done"]
+    tau2_mean = counts["tau2_hat"][0] / counts["converged"][0]
+    # Laplace + 10 clusters: wider band than the LMM twin, same center
+    assert abs(tau2_mean - 0.4) < 0.18, tau2_mean
+    power = counts["sig_unc"][0, 0] / counts["n_done"]
+    assert 0.3 < power <= 1.0, power

@@ -431,3 +431,19 @@ def test_glmm_crossed_groupings_via_model_api():
     extras = res["estimator_extras"]["glm"]
     # per-component boundary-pin rates span primary + extra groupings
     assert len(extras["boundary_rate_per_component"][0]) == 2
+
+
+def test_hessian_request_on_multi_grouping_warns_rides_rx():
+    import warnings as _w
+
+    from mcpower_tpu import MCPower
+
+    m = MCPower("y ~ x + (1|a) + (1|b)", family="logit")
+    m.set_effects("x=0.5").set_baseline_probability(0.3)
+    m.set_cluster("a", ICC=0.1, n_clusters=10)
+    m.set_cluster("b", ICC=0.1, n_clusters=8)
+    m.set_simulations(20).set_seed(3)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        m.find_power(sample_size=160, wald_se="hessian", verbose=False)
+    assert any("rx Schur covariance" in str(x.message) for x in w)
