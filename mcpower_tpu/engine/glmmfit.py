@@ -18,8 +18,9 @@ objective but restructures the optimization for lockstep batched execution:
 
 Wald SEs use the Schur complement X'WX - sum_i c_i s_i s_i' at the mode —
 the reference's "rx" fastmode (WaldSe::Rx, estimator.rs:47). The "hessian"
-opt-in computes central finite differences of the u-profiled Laplace
-deviance in beta (cov = 2 H^-1), matching WaldSe::Hessian semantics.
+opt-in computes central finite differences of the mode-profiled Laplace
+deviance in beta (cov = 2 H^-1), matching WaldSe::Hessian semantics, on
+ALL three structures (intercept, slopes, crossed/nested extras).
 Boundary fits pin tau^2 at the floor and flag ``boundary_hit``.
 """
 
@@ -59,6 +60,49 @@ BRENT_FULL_GLMM = 6
 BRENT_ITERS_GLMM = 14
 
 _LOG_2PI = 1.8378770664093453
+
+
+def _fd_hessian_cov(dev_beta, beta, cov_fallback, h=1e-4):
+    """FD Wald covariance: central differences of a profiled Laplace
+    deviance in beta, cov = 2 H^-1 (dev = -2 loglik) — the reference's
+    WaldSe::Hessian semantics (estimator.rs:47-84). The full central
+    stencil (1 + 2p + 4·C(p,2) evaluations) is vmapped so the compiled
+    program holds ONE dev_beta body regardless of p; falls back to the rx
+    covariance when the FD covariance is non-finite."""
+    pf = beta.shape[0]
+    offs = [np.zeros(pf)]
+    for i in range(pf):
+        e = np.zeros(pf)
+        e[i] = 1.0
+        offs.extend([e, -e])
+    pairs = [(i, j) for i in range(pf) for j in range(i + 1, pf)]
+    for i, j in pairs:
+        ei = np.zeros(pf)
+        ei[i] = 1.0
+        ej = np.zeros(pf)
+        ej[j] = 1.0
+        offs.extend([ei + ej, ei - ej, -ei + ej, -ei - ej])
+    offs = jnp.asarray(np.array(offs), jnp.float64)
+    vals = jax.vmap(lambda o: dev_beta(beta + h * o))(offs)
+    f0 = vals[0]
+    H = jnp.zeros((pf, pf), jnp.float64)
+    for i in range(pf):
+        H = H.at[i, i].set(
+            (vals[1 + 2 * i] - 2.0 * f0 + vals[2 + 2 * i]) / (h * h)
+        )
+    base = 1 + 2 * pf
+    for k, (i, j) in enumerate(pairs):
+        hij = (
+            vals[base + 4 * k]
+            - vals[base + 4 * k + 1]
+            - vals[base + 4 * k + 2]
+            + vals[base + 4 * k + 3]
+        ) / (4.0 * h * h)
+        H = H.at[i, j].set(hij)
+        H = H.at[j, i].set(hij)
+    cholH = smallchol.chol(H + 1e-10 * jnp.eye(pf, dtype=jnp.float64))
+    cov_h = 2.0 * smallchol.cho_inverse(cholH)
+    return jnp.where(jnp.all(jnp.isfinite(cov_h)), cov_h, cov_fallback)
 
 
 def _loglik_rows(outcome: str, link: str, y, eta):
@@ -126,8 +170,9 @@ def _extras_glmm_grid_stats(
 
     The theta search is the batched fixed-iteration Nelder-Mead over the
     stacked vech-chol(D_g) (truth-started like every other arm). Wald SEs
-    are the rx Schur covariance; AGQ is structurally ineligible here
-    (contract invariant 25) and a hessian request rides rx too.
+    default to the rx Schur covariance; wald_se='hessian' computes FD of
+    the v-profiled Laplace deviance through the capacitance solve. AGQ is
+    structurally ineligible here (contract invariant 25).
     """
     from . import optim
     from .mixedfit import (
@@ -245,6 +290,38 @@ def _extras_glmm_grid_stats(
         beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)
         cholP = smallchol.chol(a_xx)
         cov = smallchol.cho_inverse(cholP)
+        if spec.wald_se == "hessian":
+            # FD of the v-profiled joint-Z Laplace deviance at the PIRLS
+            # beta: v re-optimized at fixed beta through the M x M
+            # capacitance solve, dev = dev_cond + |v|^2 + logdet C.
+            def dev_beta(beta_q):
+                fixed = smallchol.rowmv(Xf, beta_q)
+
+                def vbody(_, v_q):
+                    eta = fixed + Z @ (Lam @ v_q)
+                    mu, var, dmu = mu_var_dmu(eta)
+                    w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                    z = eta + (yf - mu) / dmu
+                    wZ = Z * w[:, None]
+                    C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
+                    rhs = Lam.T @ (wZ.T @ (z - fixed))
+                    v_new = smallchol.cho_solve(smallchol.chol(C), rhs)
+                    ok = jnp.all(jnp.isfinite(v_new))
+                    return jnp.where(ok, v_new, v_q)
+
+                v_q = jax.lax.fori_loop(0, 20, vbody, v)
+                eta = fixed + Z @ (Lam @ v_q)
+                mu, var, dmu = mu_var_dmu(eta)
+                w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                wZ = Z * w[:, None]
+                C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
+                return (
+                    _deviance(spec.outcome, yf, mu, mask)
+                    + jnp.sum(v_q * v_q)
+                    + smallchol.logdet_from_chol(smallchol.chol(C))
+                )
+
+            cov = _fd_hessian_cov(dev_beta, beta, cov)
         Lg1 = _vech_to_lower(theta_hat[: sizes[0]], q1)
         tau2_hat = (Lg1 @ Lg1.T)[0, 0]
         # per-component pins across ALL groupings (primary components
@@ -528,6 +605,51 @@ def _slope_glmm_grid_stats(
         beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)
         cholP = smallchol.chol(a_xx)
         cov = smallchol.cho_inverse(cholP)
+        if spec.wald_se == "hessian":
+            # FD of the v-profiled Laplace deviance at the PIRLS beta (same
+            # convention as the intercept path): per evaluation the modes v
+            # are re-optimized at fixed beta by a v-only PIRLS (per-cluster
+            # q x q capacitance solves), then dev = dev_cond + |v|^2 +
+            # sum_i logdet C_i at Lam(theta-hat).
+            def dev_beta(beta_q):
+                fixed = smallchol.rowmv(Xf, beta_q)
+
+                def vbody(_, v_q):
+                    u = (v_q[:, None, :] * Lam[None, :, :]).sum(-1)
+                    eta = fixed + jnp.einsum("nq,nq->n", Zf, rows_of(u))
+                    mu, var, dmu = mu_var_dmu(eta)
+                    w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                    z = eta + (yf - mu) / dmu
+                    wZ = Zf * w[:, None]
+                    G = seg_rows(wZ[:, :, None] * Zf[:, None, :])
+                    r = seg_rows(wZ * (z - fixed)[:, None])  # Z'W(z - Xb)
+                    LtG = (Lam[None, :, :, None] * G[:, :, None, :]).sum(1)
+                    C = eye_q[None] + (
+                        LtG[:, :, :, None] * Lam[None, None, :, :]
+                    ).sum(2)
+                    rhs = jnp.einsum("ab,ma->mb", Lam, r)  # Lam' r
+                    v_new = smallchol.cho_solve(smallchol.chol(C), rhs)
+                    ok = jnp.all(jnp.isfinite(v_new))
+                    return jnp.where(ok, v_new, v_q)
+
+                v_q = jax.lax.fori_loop(0, 20, vbody, v)
+                u = (v_q[:, None, :] * Lam[None, :, :]).sum(-1)
+                eta = fixed + jnp.einsum("nq,nq->n", Zf, rows_of(u))
+                mu, var, dmu = mu_var_dmu(eta)
+                w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+                wZ = Zf * w[:, None]
+                G = seg_rows(wZ[:, :, None] * Zf[:, None, :])
+                LtG = (Lam[None, :, :, None] * G[:, :, None, :]).sum(1)
+                C = eye_q[None] + (
+                    LtG[:, :, :, None] * Lam[None, None, :, :]
+                ).sum(2)
+                return (
+                    _deviance(spec.outcome, yf, mu, mask)
+                    + jnp.sum(v_q * v_q)
+                    + jnp.sum(smallchol.logdet_from_chol(smallchol.chol(C)))
+                )
+
+            cov = _fd_hessian_cov(dev_beta, beta, cov)
         D_hat = Lam @ Lam.T
         tau2_hat = D_hat[0, 0]
         # Per-component pins [intercept, slope_0, ...] — the reference's
@@ -804,31 +926,7 @@ def _intercept_glmm_grid_stats(
                     + jnp.sum(jnp.where(active, jnp.log1p(tau2_c * W_q), 0.0))
                 )
 
-            h = 1e-4
-            H = jnp.zeros((pf, pf), jnp.float64)
-            f0 = dev_beta(beta)
-            evs = {}
-            for i2 in range(pf):
-                ei = jnp.zeros(pf, jnp.float64).at[i2].set(h)
-                evs[(i2, 1)] = dev_beta(beta + ei)
-                evs[(i2, -1)] = dev_beta(beta - ei)
-                H = H.at[i2, i2].set(
-                    (evs[(i2, 1)] - 2.0 * f0 + evs[(i2, -1)]) / (h * h)
-                )
-            for i2 in range(pf):
-                for j2 in range(i2 + 1, pf):
-                    ei = jnp.zeros(pf, jnp.float64).at[i2].set(h)
-                    ej = jnp.zeros(pf, jnp.float64).at[j2].set(h)
-                    fpp = dev_beta(beta + ei + ej)
-                    fpm = dev_beta(beta + ei - ej)
-                    fmp = dev_beta(beta - ei + ej)
-                    fmm = dev_beta(beta - ei - ej)
-                    hij = (fpp - fpm - fmp + fmm) / (4.0 * h * h)
-                    H = H.at[i2, j2].set(hij)
-                    H = H.at[j2, i2].set(hij)
-            cholH = smallchol.chol(H + 1e-10 * jnp.eye(pf, dtype=jnp.float64))
-            cov_h = 2.0 * smallchol.cho_inverse(cholH)
-            cov = jnp.where(jnp.all(jnp.isfinite(cov_h)), cov_h, cov)
+            cov = _fd_hessian_cov(dev_beta, beta, cov)
         converged = (
             jnp.all(jnp.isfinite(beta))
             & smallchol.chol_ok(chol)

@@ -634,19 +634,6 @@ class MCPower:
         ws = (wald_se or est["wald_se"]).lower()
         if ws not in ("rx", "hessian"):
             raise ValueError("wald_se must be 'rx' or 'hessian'")
-        if (
-            ws == "hessian"
-            and len(self._clusters) > 1
-            and self.outcome_kind in ("binary", "count")
-        ):
-            msg = (
-                "wald_se='hessian' is not available on the multi-grouping "
-                "GLMM path; using the rx Schur covariance instead"
-            )
-            if msg not in self._warned_once:
-                self._warned_once.add(msg)
-                _warnings.warn(msg, UserWarning, stacklevel=3)
-            ws = "rx"
         nagq = int(agq) if agq is not None else int(est["nagq"])
         if nagq != 1:
             has_slopes = any(

@@ -309,3 +309,95 @@ def test_glmm_nested_extra_grouping_runs_and_recovers():
     assert abs(tau2_mean - 0.4) < 0.18, tau2_mean
     power = counts["sig_unc"][0, 0] / counts["n_done"]
     assert 0.3 < power <= 1.0, power
+
+
+def test_glmm_extras_hessian_wald_se_parity():
+    """wald_se='hessian' on the joint-Z GLMM extras path: engine t^2
+    matches an independent FD-Hessian of the u-profiled two-grouping
+    Laplace deviance (cov = 2 H^-1) at the independent (tau1, tau2)
+    optimum, FD evaluated AT the penalized-IRLS beta (reference
+    WaldSe::Hessian, estimator.rs:47-84)."""
+    m, n_lv, n = 12, 8, 192
+    spec, arrays = lower.lower(
+        grid=[n],
+        var_types=["normal"],
+        effects=np.array([-0.4, 0.6]),
+        target_cols=[1],
+        estimator="glm",
+        outcome="binary",
+        wald_se="hessian",
+        cluster=ClusterStatic(
+            sizing_mode="fixed_clusters", sizing_value=m, tau_squared=0.4,
+            extra_groupings=(
+                ExtraGroupingStatic(
+                    relation="crossed", n_levels=n_lv, tau_squared=0.25
+                ),
+            ),
+        ),
+    )
+    cap = batch.run_batch_capture(spec, arrays, 3, 2137)
+    rows = np.arange(n)
+    checked = 0
+    for s in range(3):
+        X, y, ids = _gen(spec, arrays, s)
+        X, y, ids = X[:n], y[:n], ids[:n]
+        Xr = X[:, :2]
+        Z1 = np.eye(m)[ids]
+        eg_ids = (rows // m) % n_lv
+        Z2 = np.eye(n_lv)[eg_ids]
+        t1, t2_, beta_ref, _ = _oracle_two_grouping_laplace_logit(
+            Xr, y, Z1, Z2
+        )
+        if t1 < 0.02 or t2_ < 0.02:
+            continue  # boundary-pinned oracle: positioning bands differ
+        Z = np.hstack([Z1, Z2])
+        M = m + n_lv
+        dinv = np.concatenate(
+            [np.full(m, 1.0 / t1), np.full(n_lv, 1.0 / t2_)]
+        )
+
+        def dev_beta(beta):
+            u = np.zeros(M)
+            for _ in range(120):
+                eta = Xr @ beta + Z @ u
+                mu = np.clip(1 / (1 + np.exp(-eta)), 1e-12, 1 - 1e-12)
+                w = np.maximum(mu * (1 - mu), 1e-10)
+                z = eta + (y - mu) / w
+                u_new = np.linalg.solve(
+                    (Z.T * w) @ Z + np.diag(dinv),
+                    (Z.T * w) @ (z - Xr @ beta),
+                )
+                if np.max(np.abs(u_new - u)) < 1e-11:
+                    u = u_new
+                    break
+                u = u_new
+            eta = Xr @ beta + Z @ u
+            mu = np.clip(1 / (1 + np.exp(-eta)), 1e-12, 1 - 1e-12)
+            w = np.maximum(mu * (1 - mu), 1e-10)
+            dev_c = -2 * np.sum(y * np.log(mu) + (1 - y) * np.log(1 - mu))
+            d_sqrt = np.sqrt(1.0 / dinv)
+            C = np.eye(M) + (d_sqrt[:, None] * (Z.T * w) @ Z) * d_sqrt[None, :]
+            return dev_c + u @ (dinv * u) + np.linalg.slogdet(C)[1]
+
+        h = 1e-4
+        p = 2
+        H = np.zeros((p, p))
+        f0 = dev_beta(beta_ref)
+        for i in range(p):
+            ei = np.zeros(p); ei[i] = h
+            H[i, i] = (
+                dev_beta(beta_ref + ei) - 2 * f0 + dev_beta(beta_ref - ei)
+            ) / h**2
+        for i in range(p):
+            for j in range(i + 1, p):
+                ei = np.zeros(p); ei[i] = h
+                ej = np.zeros(p); ej[j] = h
+                H[i, j] = H[j, i] = (
+                    dev_beta(beta_ref + ei + ej) - dev_beta(beta_ref + ei - ej)
+                    - dev_beta(beta_ref - ei + ej) + dev_beta(beta_ref - ei - ej)
+                ) / (4 * h**2)
+        cov_ref = 2.0 * np.linalg.inv(H)
+        t2_ref = beta_ref[1] ** 2 / cov_ref[1, 1]
+        np.testing.assert_allclose(cap["t2"][s, 0, 0], t2_ref, rtol=0.05)
+        checked += 1
+    assert checked >= 2, "too many boundary-pinned sims to compare"

@@ -146,7 +146,7 @@ def test_glmm_via_model_api():
 
 
 def _lower_glmm_slope(grid, tau2=0.35, slope_var=0.2, corr=0.3, beta=0.4,
-                      icpt=-0.3, n_clusters=20):
+                      icpt=-0.3, n_clusters=20, wald_se="rx"):
     from mcpower_tpu.engine.spec import SlopeStatic
 
     return lower.lower(
@@ -156,6 +156,7 @@ def _lower_glmm_slope(grid, tau2=0.35, slope_var=0.2, corr=0.3, beta=0.4,
         target_cols=[1],
         outcome="binary",
         estimator="glm",
+        wald_se=wald_se,
         cluster=ClusterStatic(
             sizing_mode="fixed_clusters", sizing_value=n_clusters,
             tau_squared=tau2,
@@ -433,7 +434,75 @@ def test_glmm_crossed_groupings_via_model_api():
     assert len(extras["boundary_rate_per_component"][0]) == 2
 
 
-def test_hessian_request_on_multi_grouping_warns_rides_rx():
+def test_glmm_hessian_wald_se_parity_slopes():
+    """wald_se='hessian' on the RANDOM-SLOPE path: engine t^2 matches an
+    independent FD-Hessian of the u-profiled Laplace deviance (cov =
+    2 H^-1) at the independent optimum. Same convention as the intercept
+    test: FD is evaluated AT the PIRLS beta, with D fixed at the
+    variance-search optimum (reference WaldSe::Hessian, estimator.rs:47)."""
+    spec, arrays = _lower_glmm_slope([400], n_clusters=20, wald_se="hessian")
+    n_sims = 2
+    cap = batch.run_batch_capture(spec, arrays, n_sims, 2137)
+    m, q = 20, 2
+    for s in range(n_sims):
+        X, y, ids = _gen(spec, arrays, s)
+        Xr = X[:, :2].astype(np.float64)
+        _, D_ref = _ref_glmm_slope_laplace(Xr, y, ids, m)
+        Z = np.stack([np.ones(len(y)), Xr[:, 1]], axis=1)
+        b_ref, _ = _ref_rx_t2(
+            Xr, y, ids, m, D_ref, q=q, Zcols=[Z[:, 0], Z[:, 1]]
+        )
+        Dinv = np.linalg.inv(D_ref + 1e-12 * np.eye(q))
+
+        def dev_beta(beta):
+            u = np.zeros((m, q))
+            for _ in range(80):
+                eta = Xr @ beta + np.einsum("nq,nq->n", Z, u[ids])
+                mu = np.clip(1 / (1 + np.exp(-eta)), 1e-12, 1 - 1e-12)
+                w = mu * (1 - mu)
+                r = y - mu
+                for i in range(m):
+                    sel = ids == i
+                    Zi = Z[sel]
+                    g = Zi.T @ r[sel] - Dinv @ u[i]
+                    Hu = Zi.T @ (w[sel, None] * Zi) + Dinv
+                    u[i] = u[i] + np.linalg.solve(Hu, g)
+            eta = Xr @ beta + np.einsum("nq,nq->n", Z, u[ids])
+            mu = np.clip(1 / (1 + np.exp(-eta)), 1e-12, 1 - 1e-12)
+            w = mu * (1 - mu)
+            dev_c = -2 * (y * np.log(mu) + (1 - y) * np.log(1 - mu)).sum()
+            pen = np.einsum("mq,qr,mr->", u, Dinv, u)
+            logdet = 0.0
+            for i in range(m):
+                sel = ids == i
+                Zi = Z[sel]
+                G = Zi.T @ (w[sel, None] * Zi)
+                logdet += np.linalg.slogdet(np.eye(q) + D_ref @ G)[1]
+            return dev_c + pen + logdet
+
+        h = 1e-4
+        p = 2
+        H = np.zeros((p, p))
+        f0 = dev_beta(b_ref)
+        for i in range(p):
+            ei = np.zeros(p); ei[i] = h
+            H[i, i] = (dev_beta(b_ref + ei) - 2 * f0 + dev_beta(b_ref - ei)) / h**2
+        for i in range(p):
+            for j in range(i + 1, p):
+                ei = np.zeros(p); ei[i] = h
+                ej = np.zeros(p); ej[j] = h
+                H[i, j] = H[j, i] = (
+                    dev_beta(b_ref + ei + ej) - dev_beta(b_ref + ei - ej)
+                    - dev_beta(b_ref - ei + ej) + dev_beta(b_ref - ei - ej)
+                ) / (4 * h**2)
+        cov_ref = 2.0 * np.linalg.inv(H)
+        t2_ref = b_ref[1] ** 2 / cov_ref[1, 1]
+        np.testing.assert_allclose(cap["t2"][s, 0, 0], t2_ref, rtol=0.05)
+
+
+def test_glmm_hessian_on_multi_grouping_runs():
+    """wald_se='hessian' on the multi-grouping joint-Z path computes real FD
+    SEs (the round-2 warn-and-ride-rx fallback is gone)."""
     import warnings as _w
 
     from mcpower_tpu import MCPower
@@ -445,5 +514,7 @@ def test_hessian_request_on_multi_grouping_warns_rides_rx():
     m.set_simulations(20).set_seed(3)
     with _w.catch_warnings(record=True) as w:
         _w.simplefilter("always")
-        m.find_power(sample_size=160, wald_se="hessian", verbose=False)
-    assert any("rx Schur covariance" in str(x.message) for x in w)
+        res = m.find_power(sample_size=160, wald_se="hessian", verbose=False)
+    assert not any("rx Schur covariance" in str(x.message) for x in w)
+    assert res["convergence_rate"][0] > 0.8
+    assert 0.0 <= res["powers"]["uncorrected"][0][0] <= 1.0
