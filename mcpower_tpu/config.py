@@ -227,7 +227,9 @@ def normalize_correction(name) -> str:
     """Resolve a user correction string (aliases, case) to the canonical name."""
     if name is None:
         return "none"
-    key = str(name).strip().lower()
+    # Separator-insensitive like the reference port: "Benjamini-Hochberg",
+    # "benjamini hochberg", and "Tukey-HSD" all resolve.
+    key = str(name).strip().lower().replace("-", "_").replace(" ", "_")
     key = CONFIG["correction_aliases"].get(key, key)
     if key not in CORRECTION_NAMES:
         raise ValueError(

@@ -301,6 +301,19 @@ def prepare_upload(
     )
 
 
+def reuse_fraction(n_upload: int, n_target: int) -> float:
+    """Expected % of uploaded rows drawn MORE THAN ONCE within one
+    strict-bootstrap dataset of size N from U pilot rows (reference
+    model.py:85-97): g = 100*[1 - p^N - (N/U)*p^(N-1)], p = 1 - 1/U."""
+    U, N = n_upload, n_target
+    if U <= 0:
+        return 0.0
+    if U == 1:
+        return 100.0
+    p = 1.0 - 1.0 / U
+    return 100.0 * (1.0 - p**N - (N / U) * p ** (N - 1))
+
+
 def strict_reuse_warning(n_upload: int, n_target: int) -> Optional[str]:
     """Warn when a strict-bootstrap run extrapolates far beyond the pilot."""
     ratio = n_target / max(n_upload, 1)

@@ -33,6 +33,15 @@ import jax.numpy as jnp
 from . import smallchol, waldstats
 from .spec import SimSpec
 
+# Rank-deficiency epsilon for the Cholesky pivot ratio
+# min(L_diag)/max(L_diag) — reference batch.rs:40-41 EPS_RANK uses 1e-12 with
+# exact sequential accumulation, where a singular X'X hits an exact 0 pivot.
+# XLA's FMA-fused chol leaves ~sqrt(f64 eps) noise in the pivot of an exactly
+# singular matrix (observed ~3e-9 on a confounded two-factor design), so the
+# threshold sits above that noise floor; an L-ratio of 1e-6 corresponds to an
+# X'X condition number ~1e12 — far past where t² is meaningful anyway.
+EPS_RANK = 1e-6
+
 
 def grid_suffstats(spec: SimSpec, Xf, yf):
     """Prefix sufficient statistics per grid point (single sim).
@@ -110,11 +119,18 @@ def ols_grid_stats(
     df1 = jnp.maximum(p_eff - 1.0, 1.0)
     overall = ((tss - rss) / df1) / sigma2
 
+    # Rank test matches the reference's Cholesky pivot-ratio rule
+    # (batch.rs:40-41 EPS_RANK, fit_suff_stats_t_sq): a rank-deficient X'X
+    # can still produce tiny POSITIVE pivots in floating point, so positivity
+    # alone silently passes confounded designs with garbage t².
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    pivot_ok = jnp.min(diag, axis=-1) >= EPS_RANK * jnp.max(diag, axis=-1)
     converged = (
         jnp.isfinite(sigma2)
         & (sigma2 > 0.0)
-        & jnp.all(jnp.isfinite(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-        & jnp.all(jnp.diagonal(chol, axis1=-2, axis2=-1) > 0.0, axis=-1)
+        & jnp.all(jnp.isfinite(diag), axis=-1)
+        & jnp.all(diag > 0.0, axis=-1)
+        & pivot_ok
     )
 
     out = {"t2": t2, "overall": overall, "converged": converged}

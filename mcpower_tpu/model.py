@@ -575,13 +575,19 @@ class MCPower:
 
         self._effects = {}
         inter_terms = [t["vars"] for t in reg.parsed.terms if t["kind"] == "interaction"]
-        known_effect_keys = reg.effect_names + reg.factor_names + reg.predictor_names
+        # Strict reference semantics: effect names must be POST-EXPANSION
+        # effect names (g[2], g1[2]:g2[2], x1, x1:x2) — base factor names are
+        # rejected here, not later at projection (reference model.py:1497-1500).
+        known_effect_keys = reg.effect_names
         for frag in self._pending_effects:
             items, errors = parse_assignments(
                 frag, "effect", known_effect_keys, interaction_terms=inter_terms
             )
             if errors:
-                raise ValueError("; ".join(errors))
+                raise ValueError(
+                    "; ".join(errors)
+                    + f" (available: {', '.join(reg.effect_names)})"
+                )
             for it in items:
                 self._effects[it.key] = it.value
         self._warn_effect_scale(reg)
@@ -801,6 +807,7 @@ class MCPower:
         out = self._package(results, names, kind="power")
         if verbose:
             print(out.summary())
+            self._emit_reuse_notes(out, sample_size=sample_size)
         self.last_result = out
         return out
 
@@ -867,6 +874,7 @@ class MCPower:
         out = self._package(results, names, kind="sample_size")
         if verbose:
             print(out.summary(target_power=tpow))
+            self._emit_reuse_notes(out)
         self.last_result = out
         return out
 
@@ -895,6 +903,29 @@ class MCPower:
                     "its dummies will be unstable or excluded in many "
                     "simulations"
                 )
+        # Deterministic confounding: under fixed (non-sampled) allocation —
+        # the default scenario — every factor's level sequence is the same
+        # Hamilton walk of its proportions over rows 0..N-1 (reference
+        # data_gen.rs:943 fixed_level_next), so two factors with identical
+        # proportion vectors produce row-identical dummies and a singular
+        # design. Surface the cause up front; the rank check fails every fit.
+        seen: Dict[tuple, str] = {}
+        for name in self._registry.factor_names:
+            key = tuple(round(p, 12) for p in self._registry.factor_proportions(name))
+            if key in seen:
+                msg = (
+                    f"factors {seen[key]!r} and {name!r} have identical "
+                    "proportions under deterministic (fixed) allocation — "
+                    "their level sequences are row-identical, so the design "
+                    "is perfectly confounded and every fit will be singular. "
+                    "Give the factors different proportions, or run a "
+                    "scenario with sampled factor proportions "
+                    "(e.g. scenarios=True: 'realistic'/'doomer' sample them)."
+                )
+                out.append(msg)
+                _warnings.warn(msg, UserWarning, stacklevel=3)
+            else:
+                seen[key] = name
         return out
 
     def _upload_reuse_warning(self, n_target: int) -> Optional[str]:
@@ -904,6 +935,39 @@ class MCPower:
         from .data.upload import strict_reuse_warning
 
         return strict_reuse_warning(self._uploaded.n_rows, n_target)
+
+    def _emit_reuse_notes(self, out, *, sample_size: Optional[int] = None) -> None:
+        """Verbose ``[strict bootstrap]`` row-reuse note (reference
+        model.py:2035-2043 for power runs, 2275-2295 for sample-size runs):
+        power runs report the expected reuse fraction at the requested N;
+        sample-size runs report it at each target's first-achieved N."""
+        if self._uploaded is None or self._uploaded.mode != "strict":
+            return
+        from .data.upload import reuse_fraction
+
+        U = self._uploaded.n_rows
+        if sample_size is not None:
+            frac = reuse_fraction(U, sample_size)
+            print(
+                f"[strict bootstrap] N={sample_size}, uploaded rows U={U}: "
+                f"~{frac:.0f}% of rows reused per simulated dataset."
+            )
+            return
+        inner_list = (
+            list(out["scenarios"].values())
+            if isinstance(out.get("scenarios"), dict)
+            else [out]
+        )
+        for inner in inner_list:
+            for label, achieved_n in (inner.get("first_achieved") or {}).items():
+                if achieved_n is None:
+                    continue
+                frac = reuse_fraction(U, achieved_n)
+                print(
+                    f"[strict bootstrap] target {label}: first N={achieved_n}, "
+                    f"uploaded rows U={U}: ~{frac:.0f}% of rows reused per "
+                    "simulated dataset."
+                )
 
     def _min_cluster_size(self, n: int) -> Optional[int]:
         """Smallest per-cluster row count of the primary grouping at N."""

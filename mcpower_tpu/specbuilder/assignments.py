@@ -182,8 +182,20 @@ def parse_assignments(
         name = key_raw
         norm = name.replace("*", ":").replace(" ", "")
         is_interaction = ":" in norm
-        if is_interaction:
-            if norm not in inter_keys:
+        if kind == "effect":
+            # Effect names resolve strictly against the POST-EXPANSION effect
+            # list — factor dummies (g[2]) and dummy-interactions (g1[2]:g2[2])
+            # are valid; base factor names (g, g1:g2) are not. Mirrors the
+            # reference port (ports/py/mcpower/model.py:1484-1502).
+            lookup = norm if is_interaction else name
+            if lookup not in known:
+                # message byte-equal to the fixture corpus
+                # (formula-fixtures/assignments/err_unknown_name.json); the
+                # model layer appends the available-names list.
+                errors.append(f'unknown assignment name: "{name}"')
+                continue
+        elif is_interaction:
+            if norm not in inter_keys and norm not in known:
                 errors.append(f'unknown assignment name: "{name}"')
                 continue
         elif name not in known:

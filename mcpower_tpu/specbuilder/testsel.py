@@ -59,6 +59,11 @@ def resolve_tests(
         if low == "all":
             keywords.append("all")
         elif low in ("all-contrasts", "all-posthoc"):
+            if not registry.factor_names:
+                raise ValueError(
+                    f"{tok!r} requests all-pairwise post-hoc contrasts but the "
+                    "model has no factor variables"
+                )
             posthoc = True
         elif tok.startswith("-"):
             exclusions.append(tok[1:].strip())

@@ -108,7 +108,9 @@ def test_assignments_effects():
 
 def test_assignments_unknown_name_collected():
     items, errors = parse_assignments("xnone=0.5, x1=0.3", "effect", ["x1"])
-    assert errors == ['unknown assignment name: "xnone"']
+    assert len(errors) == 1 and errors[0].startswith(
+        'unknown assignment name: "xnone"'
+    )
     assert [(i.key, i.value) for i in items] == [("x1", 0.3)]
 
 
@@ -135,8 +137,17 @@ def test_var_type_tuple_forms():
 
 
 def test_effect_interaction_keys():
+    # effect names resolve strictly against the expanded effect list, so the
+    # interaction's expanded name must be among the known predictors
     items, errors = parse_assignments(
-        "a:b=0.2, a*b=0.3", "effect", ["a", "b"], interaction_terms=[["a", "b"]]
+        "a:b=0.2, a*b=0.3", "effect", ["a", "b", "a:b"],
+        interaction_terms=[["a", "b"]],
     )
     assert errors == []
     assert [(i.key, i.value) for i in items] == [("a:b", 0.2), ("a:b", 0.3)]
+    # a name absent from the expanded list is rejected even if it matches a
+    # formula-level interaction term (factor-interaction base names)
+    _, errs = parse_assignments(
+        "a:b=0.2", "effect", ["a[2]:b[2]"], interaction_terms=[["a", "b"]]
+    )
+    assert errs == ['unknown assignment name: "a:b"']

@@ -390,3 +390,81 @@ def test_poisson_without_baseline_rate_raises():
     m.set_effects("x1=0.3").set_simulations(50)
     with pytest.raises(ValueError, match="baseline rate required"):
         m.find_power(sample_size=100, verbose=False)
+
+
+def test_dummy_interaction_effect_names_assignable():
+    """Every name the model reports in effect_names is assignable via
+    set_effects — including factor-dummy interactions like g1[2]:g2[2] —
+    while base factor names (g1, g1:g2) are rejected with the available
+    list, matching the reference port's strict post-expansion resolution
+    (reference model.py:1484-1502)."""
+    def mk():
+        m = MCPower("y ~ g1*g2")
+        m.set_variable_type("g1=(factor,3)")
+        m.set_variable_type("g2=(factor,3)")
+        return m
+
+    m = mk()
+    m.set_effects("g1[2]:g2[2]=0.25")
+    m._ensure_applied()
+    assert m._effects == {"g1[2]:g2[2]": 0.25}
+    assert "g1[2]:g2[2]" in m.effect_names
+
+    for bad in ("g1:g2=0.3", "g1=0.3"):
+        m2 = mk()
+        m2.set_effects(bad)
+        with pytest.raises(ValueError, match="available:"):
+            m2._ensure_applied()
+
+
+def test_correction_alias_separators():
+    """Correction names resolve case- and separator-insensitively
+    (reference accepts 'Benjamini-Hochberg', 'holm bonferroni', etc.)."""
+    from mcpower_tpu.config import normalize_correction
+
+    assert normalize_correction("Benjamini-Hochberg") == "benjamini_hochberg"
+    assert normalize_correction("benjamini hochberg") == "benjamini_hochberg"
+    assert normalize_correction("Tukey-HSD") == "tukey_hsd"
+    assert normalize_correction("BONFERRONI") == "bonferroni"
+    with pytest.raises(ValueError):
+        normalize_correction("sidak-marginal-nope")
+
+
+def test_all_contrasts_requires_factors():
+    """Requesting all-pairwise post-hoc contrasts on a factor-free model is
+    an immediate error, not a silent no-op."""
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.3").set_simulations(20)
+    with pytest.raises(ValueError, match="no factor variables"):
+        m.find_power(sample_size=50, target_test="all-contrasts", verbose=False)
+
+
+def test_confounded_fixed_factors_fail_loud():
+    """Two fixed-allocation factors with identical proportions are
+    deterministically confounded (reference data_gen.rs:943 runs the same
+    Hamilton walk per factor): the preflight names the cause and the
+    rank check fails every fit instead of silently returning garbage t²."""
+    import warnings as _w
+
+    m = MCPower("y ~ g1 + g2")
+    m.set_variable_type("g1=(factor,3)")
+    m.set_variable_type("g2=(factor,3)")
+    m.set_effects("g1[2]=0.3").set_simulations(20).set_seed(3)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        with pytest.raises(RuntimeError, match="failed to converge"):
+            m.find_power(sample_size=150, verbose=False)
+    assert any("confounded" in str(x.message) for x in w)
+
+
+def test_crossed_factor_interaction_power_runs():
+    """A 2×3 factor interaction (distinct proportions → crossed cells under
+    fixed allocation) fits cleanly and detects a large interaction effect."""
+    m = MCPower("y ~ g1*g2")
+    m.set_variable_type("g1=(factor,2)")
+    m.set_variable_type("g2=(factor,3)")
+    m.set_effects("g1[2]:g2[2]=1.2").set_simulations(150).set_seed(7)
+    res = m.find_power(sample_size=240, verbose=False)
+    assert res["convergence_rate"] == [1.0]
+    pw = dict(zip(res["target_labels"], res["powers"]["corrected"][0]))
+    assert pw["g1[2]:g2[2]"] > 0.8, pw

@@ -518,3 +518,43 @@ def test_recovered_baseline_probability_note(capsys):
     p_line = [l for l in text.splitlines() if "baseline probability" in l][0]
     p_hat = float(p_line.split("set_baseline_probability(")[1].split(")")[0])
     assert abs(p_hat - 0.30) < 0.06
+
+
+def test_reuse_fraction_formula_matches_monte_carlo():
+    """reuse_fraction's closed form (reference model.py:85-97) equals the
+    simulated expected share of pilot rows drawn more than once in one
+    strict-bootstrap dataset."""
+    from mcpower_tpu.data.upload import reuse_fraction
+
+    rs = np.random.RandomState(11)
+    U, N = 40, 120
+    reps = 4000
+    draws = rs.randint(0, U, size=(reps, N))
+    multi = np.zeros(reps)
+    for r in range(reps):
+        counts = np.bincount(draws[r], minlength=U)
+        multi[r] = np.mean(counts >= 2)
+    mc = 100.0 * multi.mean()
+    assert abs(reuse_fraction(U, N) - mc) < 1.0
+    assert reuse_fraction(0, 10) == 0.0
+    assert reuse_fraction(1, 10) == 100.0
+
+
+def test_strict_reuse_note_printed_verbose(capsys):
+    """Strict-bootstrap runs print the informational row-reuse note at
+    verbose time (reference model.py:2035-2043)."""
+    rs = np.random.RandomState(5)
+    d = {"x1": rs.normal(size=80), "y": rs.normal(size=80)}
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.4").set_simulations(50)
+    m.upload_data(d, mode="strict")
+    m.find_power(sample_size=100, verbose=True)
+    out = capsys.readouterr().out
+    assert "[strict bootstrap] N=100, uploaded rows U=80" in out
+    assert "% of rows reused per simulated dataset" in out
+    # non-strict modes stay silent
+    m2 = MCPower("y ~ x1")
+    m2.set_effects("x1=0.4").set_simulations(50)
+    m2.upload_data(d, mode="partial")
+    m2.find_power(sample_size=100, verbose=True)
+    assert "[strict bootstrap]" not in capsys.readouterr().out
