@@ -167,6 +167,7 @@ def run_one_sim(
 
     for extra in (
         "boundary_hit",
+        "boundary_hi",
         "singular",
         "tau2_hat",
         "glm_baseline",

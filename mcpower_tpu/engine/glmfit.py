@@ -27,6 +27,7 @@ import numpy as np
 
 from . import rng, smallchol, waldstats
 from .datagen import factor_min_counts as datagen_factor_min_counts
+from .olsfit import EPS_RANK
 from .spec import SimSpec
 
 N_IRLS_ITERS = 30
@@ -144,12 +145,26 @@ def _irls(outcome, link, Xf, yf, mask, beta0, pin=None):
     mu, var, dmu = mu_var_dmu(eta)
     w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
     xw = Xf * w[:, None]
-    xtwx = xw.T @ Xf + ridge64
-    chol = smallchol.chol(xtwx)
+    xtwx_raw = xw.T @ Xf
+    chol = smallchol.chol(xtwx_raw + ridge64)
     cov = smallchol.cho_inverse(chol)
     dev = _deviance(outcome, yf, mu, mask)
     at_cap = jnp.any(jnp.abs(beta) >= BETA_CAP - 1e-6)
-    converged = done & jnp.all(jnp.isfinite(beta)) & ~at_cap
+    # Rank check on the UNRIDGED information matrix (reference batch.rs:40-41
+    # EPS_RANK pivot-ratio rule): the 1e-10 ridge turns an exactly singular
+    # X'WX (confounded factor designs) into a barely-PD matrix whose fit
+    # "converges" with garbage t² — probe the raw matrix separately so
+    # rank deficiency is flagged while the ridge keeps the solve stable.
+    # PINNED (masked-out) columns are structurally excluded, not deficient:
+    # give them a unit pivot exactly like olsfit's colmask reduced fit, so
+    # only the ACTIVE column block is rank-tested.
+    probe = xtwx_raw if pin is None else xtwx_raw + jnp.diag(pin)
+    raw_diag = jnp.diagonal(smallchol.chol(probe), axis1=-2, axis2=-1)
+    rank_ok = (
+        jnp.all(jnp.isfinite(raw_diag))
+        & (jnp.min(raw_diag) >= EPS_RANK * jnp.max(raw_diag))
+    )
+    converged = done & jnp.all(jnp.isfinite(beta)) & ~at_cap & rank_ok
     return beta, cov, converged, dev
 
 

@@ -337,6 +337,8 @@ def _extras_glmm_grid_stats(
         converged = (
             jnp.all(jnp.isfinite(beta))
             & smallchol.chol_ok(cholP)
+            # rank probe on the unridged Schur complement (see smallchol.rank_ok)
+            & smallchol.rank_ok(a_xx - eye_p)
             & jnp.isfinite(lap)
         )
         ybar = jnp.sum(yf * (rows < n)) / jnp.asarray(n, jnp.float64)
@@ -660,6 +662,8 @@ def _slope_glmm_grid_stats(
         converged = (
             jnp.all(jnp.isfinite(beta))
             & smallchol.chol_ok(cholP)
+            # rank probe on the unridged Schur complement (see smallchol.rank_ok)
+            & smallchol.rank_ok(a_xx - eye_p)
             & jnp.isfinite(lap)
         )
         ybar = jnp.sum(yf * (rows < n)) / jnp.asarray(n, jnp.float64)
@@ -930,6 +934,8 @@ def _intercept_glmm_grid_stats(
         converged = (
             jnp.all(jnp.isfinite(beta))
             & smallchol.chol_ok(chol)
+            # rank probe on the unridged Schur complement (see smallchol.rank_ok)
+            & smallchol.rank_ok(a_xx - eye)
             & jnp.isfinite(dev_int)
         )
         ybar = jnp.sum(yf * (rows < n)) / jnp.asarray(n, jnp.float64)

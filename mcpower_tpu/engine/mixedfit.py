@@ -49,6 +49,10 @@ from .spec import SimSpec
 # log-gamma search window and iteration budget.
 LOG_GAMMA_LO = -14.0  # gamma ~ 8e-7: effectively singular
 LOG_GAMMA_HI = 7.0  # gamma ~ 1100: ICC 0.999
+# Above this the Brent optimum sits against the upper gamma bound — the
+# reference's boundary code 2 ("τ̂ implausibly large", spec.rs:562-565),
+# surfaced separately from the τ̂=0 pin as boundary_hit_rate_high_tau.
+BOUNDARY_LOG_GAMMA_HI = 6.5
 # Brent (safeguarded parabolic) search budget. On smooth interior REML
 # optima the parabolic steps converge to ~1e-7 in log-gamma within ~10
 # evaluations (stress family in tests/test_brent.py); 20 leaves margin.
@@ -400,7 +404,12 @@ def _slope_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
         boundary = jnp.any(pinned)
         Gamma = Lam @ Lam.T
         tau2_hat = Gamma[0, 0] * sigma2
-        converged = jnp.isfinite(dev) & jnp.all(jnp.isfinite(beta)) & (sigma2 > 0)
+        converged = (
+            jnp.isfinite(dev)
+            & jnp.all(jnp.isfinite(beta))
+            & (sigma2 > 0)
+            & smallchol.chol_rank_ok(chol)
+        )
         return beta, cov, converged, boundary, tau2_hat, pinned
 
     beta, cov, converged, boundary, tau2_hat, pinned = jax.vmap(per_grid)(
@@ -599,7 +608,12 @@ def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
             off += sz
         pinned = jnp.concatenate(diag_entries) < 1e-4
         boundary = jnp.any(pinned)
-        converged = jnp.isfinite(dev) & jnp.all(jnp.isfinite(beta)) & (sigma2 > 0)
+        converged = (
+            jnp.isfinite(dev)
+            & jnp.all(jnp.isfinite(beta))
+            & (sigma2 > 0)
+            & smallchol.chol_rank_ok(chol)
+        )
         return beta, cov, converged, boundary, tau2_hat, pinned
 
     beta, cov, converged, boundary, tau2_hat, pinned = jax.vmap(per_grid)(
@@ -655,6 +669,9 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
         boundary = (dev_zero <= dev_interior + 1e-10) | (
             log_gamma_hat < BOUNDARY_LOG_GAMMA
         )
+        # Upper-edge pin: the reference's boundary code 2 (τ̂ implausibly
+        # large). Disjoint from the τ̂=0 pin by construction.
+        boundary_hi = ~boundary & (log_gamma_hat > BOUNDARY_LOG_GAMMA_HI)
         log_gamma_eff = jnp.where(boundary, jnp.float64(LOG_GAMMA_LO), log_gamma_hat)
         gamma_hat = jnp.where(boundary, 0.0, jnp.exp(log_gamma_eff))
 
@@ -667,22 +684,25 @@ def mixed_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarr
             jnp.isfinite(dev)
             & jnp.all(jnp.isfinite(beta))
             & (sigma2 > 0.0)
+            & smallchol.chol_rank_ok(chol)
         )
         # Single variance component: the pin vector is just the boundary bit.
-        return beta, cov, converged, boundary, tau2_hat, boundary[None]
+        return beta, cov, converged, boundary, tau2_hat, boundary[None], boundary_hi
 
     # One traced copy of the whole REML search, vmapped over the grid axis —
     # keeps the XLA program size independent of grid length.
-    beta, cov, converged, boundary, tau2_hat, pinned = jax.vmap(per_grid)(
-        n_j_g, s_g, t_g, xtx_g, xty_g, yty_g, ns
-    )
+    beta, cov, converged, boundary, tau2_hat, pinned, boundary_hi = jax.vmap(
+        per_grid
+    )(n_j_g, s_g, t_g, xtx_g, xty_g, yty_g, ns)
     return _assemble_outputs(
-        spec, beta, cov, converged, boundary, tau2_hat, pinned
+        spec, beta, cov, converged, boundary, tau2_hat, pinned,
+        boundary_hi=boundary_hi,
     )
 
 
 def _assemble_outputs(
-    spec: SimSpec, beta, cov, converged, boundary, tau2_hat, pinned
+    spec: SimSpec, beta, cov, converged, boundary, tau2_hat, pinned,
+    boundary_hi=None,
 ):
     """t^2 / omnibus / posthoc assembly shared by all LMM paths.
 
@@ -692,6 +712,10 @@ def _assemble_outputs(
     unpacked so the batch driver's bool reduction yields per-component
     counts. Masked to converged fits: the surfaced rates use the converged
     count as denominator (result.rs:360-386).
+
+    ``boundary_hi`` (G,) bool marks the upper-edge variance pin — the
+    reference's boundary code 2 (spec.rs:562-565), emitted only by the
+    Brent intercept path; absent elsewhere (general-path parity).
     """
     out = {
         "t2": waldstats.t2_targets(spec, beta, cov),
@@ -703,4 +727,6 @@ def _assemble_outputs(
         "tau2_hat": tau2_hat,
         "pinned_comp": pinned & converged[:, None],
     }
+    if boundary_hi is not None:
+        out["boundary_hi"] = boundary_hi
     return waldstats.add_posthoc(out, spec, beta, cov)

@@ -33,14 +33,9 @@ import jax.numpy as jnp
 from . import smallchol, waldstats
 from .spec import SimSpec
 
-# Rank-deficiency epsilon for the Cholesky pivot ratio
-# min(L_diag)/max(L_diag) — reference batch.rs:40-41 EPS_RANK uses 1e-12 with
-# exact sequential accumulation, where a singular X'X hits an exact 0 pivot.
-# XLA's FMA-fused chol leaves ~sqrt(f64 eps) noise in the pivot of an exactly
-# singular matrix (observed ~3e-9 on a confounded two-factor design), so the
-# threshold sits above that noise floor; an L-ratio of 1e-6 corresponds to an
-# X'X condition number ~1e12 — far past where t² is meaningful anyway.
-EPS_RANK = 1e-6
+# Rank-deficiency epsilon for the Cholesky pivot ratio — single source in
+# smallchol (reference batch.rs:40-41 EPS_RANK; see the rationale there).
+EPS_RANK = smallchol.EPS_RANK
 
 
 def grid_suffstats(spec: SimSpec, Xf, yf):

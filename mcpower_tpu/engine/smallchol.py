@@ -119,6 +119,34 @@ def chol_ok(L):
     return jnp.all(jnp.isfinite(d) & (d > 0.0), axis=-1)
 
 
+# Rank-deficiency epsilon for the Cholesky pivot ratio min(diag)/max(diag) —
+# the reference's EPS_RANK rule (batch.rs:40-41) uses 1e-12 with exact
+# sequential accumulation where a singular matrix hits an exact 0 pivot;
+# XLA's FMA-fused chol leaves ~sqrt(f64 eps) noise in that pivot (observed
+# ~3e-9 relative on an exactly confounded two-factor design), so the
+# threshold sits above that noise floor. An L-ratio of 1e-6 corresponds to a
+# condition number ~1e12 of the underlying matrix — far past where Wald t²
+# is meaningful anyway.
+EPS_RANK = 1e-6
+
+
+def chol_rank_ok(L, eps_rank=EPS_RANK):
+    """chol_ok plus the pivot-ratio rank test, on an existing UNRIDGED
+    factorization."""
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return (
+        jnp.all(jnp.isfinite(d) & (d > 0.0), axis=-1)
+        & (jnp.min(d, axis=-1) >= eps_rank * jnp.max(d, axis=-1))
+    )
+
+
+def rank_ok(mat, eps_rank=EPS_RANK):
+    """Numerically-full-rank test of a symmetric PSD matrix via the Cholesky
+    pivot ratio. Pass the UNRIDGED matrix: a tiny ridge (1e-10 I) lifts an
+    exactly singular pivot to ~1e-5 relative, hiding rank deficiency."""
+    return chol_rank_ok(chol(mat), eps_rank)
+
+
 # ---------------------------------------------------------------------------
 # Tiny-matvec helpers: MXU-padding-free forms of the p-small contractions.
 # A batched (n, p) @ (p,) dot pads every dimension to the 128-lane MXU tile

@@ -159,13 +159,14 @@ class MCPower:
     # setters (deferred; applied before each run)
     # ------------------------------------------------------------------
     def set_parallel(self, *_a, **_k) -> "MCPower":
-        _warnings.warn(
-            "set_parallel is a no-op: the engine runs as one fused XLA batch "
-            "per device; scale out with a device mesh instead.",
-            UserWarning,
-            stacklevel=2,
+        # Removed setter raises like the reference (model.py:369-372, its
+        # message points at set_n_threads): parallelism is automatic here —
+        # one fused XLA batch per device, scaled out via a device mesh.
+        raise AttributeError(
+            "MCPower has no set_parallel — parallelism is automatic (one "
+            "fused XLA batch per device); scale out with a device mesh via "
+            "mcpower_tpu.parallel.mesh / set_n_threads has no equivalent."
         )
-        return self
 
     def set_seed(self, seed: Optional[int]) -> "MCPower":
         if seed is not None:
@@ -671,6 +672,25 @@ class MCPower:
                 self.estimator, bool(self._clusters)
             ),
         )
+        # Tukey HSD is a family-wide correction for post-hoc contrast
+        # families; pointing it at explicitly requested marginal β tests is a
+        # category error — warn and proceed (reference
+        # spec_builder.py:306-323). The target_test=None default ("all
+        # betas" shorthand) carries no specific Tukey-family intent, so it
+        # stays silent.
+        if (
+            normalize_correction(correction) == "tukey_hsd"
+            and target_test is not None
+            and tests.get("targets")
+        ):
+            _warnings.warn(
+                "Tukey HSD applies only to post-hoc contrast families; the "
+                "marginal coefficient test(s) you requested compare against "
+                "each factor's studentized-range threshold (non-factor "
+                "targets are never significant under Tukey).",
+                UserWarning,
+                stacklevel=3,
+            )
         projected = build_contracts(
             self._registry,
             outcome_kind=self.outcome_kind,
@@ -911,6 +931,8 @@ class MCPower:
         # design. Surface the cause up front; the rank check fails every fit.
         seen: Dict[tuple, str] = {}
         for name in self._registry.factor_names:
+            if self._registry.var_info(name).get("sampled_proportions"):
+                continue  # per-factor override: independently sampled per row
             key = tuple(round(p, 12) for p in self._registry.factor_proportions(name))
             if key in seen:
                 msg = (
@@ -1052,13 +1074,28 @@ class MCPower:
 
     def _check_failure_threshold(self, res: Dict) -> None:
         conv = res.get("convergence_rate", [1.0])
-        worst = min(conv)
+        worst_idx = min(range(len(conv)), key=lambda i: conv[i])
+        worst = conv[worst_idx]
         if 1.0 - worst > self.max_failed_simulations:
-            raise RuntimeError(
+            msg = (
                 f"{(1.0 - worst) * 100:.1f}% of simulations failed to converge "
                 f"(> max_failed_simulations={self.max_failed_simulations}); "
                 "the design is likely unstable at this N"
             )
+            # Mixed-model boundary breakdown at the worst N (reference
+            # output/results.py _check_failure_threshold message).
+            tz = res.get("boundary_hit_rate_tau_zero") or []
+            ht = res.get("boundary_hit_rate_high_tau") or []
+            if worst_idx < len(tz) and (any(tz) or any(ht)):
+                msg += (
+                    f". Boundary-hit breakdown at that N: "
+                    f"tau_zero={tz[worst_idx]:.1%} (τ̂=0, common for small "
+                    f"ICC), high_tau={ht[worst_idx]:.1%} (τ̂ implausibly "
+                    "large, potential red flag). Raise the threshold via "
+                    "set_max_failed_simulations() or increase n_clusters / "
+                    "sample size."
+                )
+            raise RuntimeError(msg)
 
     def _warn_effect_scale(self, reg) -> None:
         """Two-tier scale-mismatch warning for logit/probit effects

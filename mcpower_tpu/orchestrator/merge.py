@@ -69,6 +69,16 @@ def merge_power_results(parts: Sequence[Dict]) -> Dict:
     }
     out["convergence_rate"] = (pooled["converged_counts"] / max(n, 1)).tolist()
 
+    # Boundary-hit rates are per-sim means — n-weighted pooling recovers the
+    # pooled counters exactly (rate_p * n_p sums to the underlying count).
+    for key in ("boundary_hit_rate_tau_zero", "boundary_hit_rate_high_tau"):
+        if key in base:
+            num = np.sum(
+                [np.asarray(p[key], np.float64) * int(p["n_sims"]) for p in parts],
+                axis=0,
+            )
+            out[key] = (num / max(n, 1)).tolist()
+
     if "joint_counts_uncorrected" in pooled:
         out["joint_uncorrected_rate"] = rate(
             pooled["joint_counts_uncorrected"], n

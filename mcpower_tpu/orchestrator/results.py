@@ -89,6 +89,20 @@ def fold_counts(
         "warnings": list(warnings or []),
     }
 
+    # Boundary-hit rates at the result-envelope top level (reference
+    # output/results.py add_boundary_hit_rates): tau_zero = τ̂ pinned at 0
+    # (boundary code 1), high_tau = upper-edge variance pin (code 2, Brent
+    # intercept path only). Zero-filled for OLS/GLM so the keys are always
+    # present with convergence_rate's shape.
+    bh_lo = counts.get("boundary_hit")
+    bh_hi = counts.get("boundary_hi")
+    result["boundary_hit_rate_tau_zero"] = (
+        rate(bh_lo, n_done).tolist() if bh_lo is not None else [0.0] * n_grid
+    )
+    result["boundary_hit_rate_high_tau"] = (
+        rate(bh_hi, n_done).tolist() if bh_hi is not None else [0.0] * n_grid
+    )
+
     if "joint_unc" in counts:
         result["joint_counts_uncorrected"] = np.asarray(counts["joint_unc"]).tolist()
         result["joint_counts_corrected"] = np.asarray(counts["joint_corr"]).tolist()

@@ -165,12 +165,16 @@ def _diagnostics(res: Dict) -> List[str]:
         )
     extras = res.get("estimator_extras", {})
     mle = extras.get("mle", {})
-    if mle.get("boundary_hit_rate"):
-        r = max(mle["boundary_hit_rate"])
+    # Boundary gate on HIGH-τ̂ only (reference tables.py:676-684, decision
+    # 2.2): benign τ̂=0 pins are common at small ICC and stay informational
+    # (surfaced in the estimator-extras block), never a red-flag warning.
+    bh_ht = res.get("boundary_hit_rate_high_tau") or []
+    if bh_ht:
+        r = max(float(v) for v in bh_ht)
         if r > _THR["lme_boundary_hit_max"]:
             lines.append(
-                f"⚠ singular (boundary) fits in {r:.1%} of simulations — the "
-                "random-effect variance is hard to identify at this design"
+                f"⚠ high-τ̂ boundary {r:.1%} — the random-effect variance "
+                "pinned implausibly large; the fit is suspect at this design"
             )
     glm = extras.get("glm", {})
     if glm.get("singular_fit_rate"):

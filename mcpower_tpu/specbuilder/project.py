@@ -121,6 +121,7 @@ def build_contracts(
                     n_levels=up.n_levels,
                     proportions=list(up.proportions),
                     frame_col=frame_col_of[name],
+                    sampled=info.get("sampled_proportions"),
                 )
             )
         elif up is not None and up.kind == "binary":
@@ -149,6 +150,10 @@ def build_contracts(
                         info.get("proportions", [])
                         or [1.0 / info.get("n_levels", 3)] * info.get("n_levels", 3)
                     ),
+                    # per-factor allocation override (reference
+                    # variables.py:266-280 sampled_proportions kwarg:
+                    # None = inherit the scenario default)
+                    sampled=info.get("sampled_proportions"),
                 )
             )
         elif vt == "binary":

@@ -468,3 +468,25 @@ def test_crossed_factor_interaction_power_runs():
     assert res["convergence_rate"] == [1.0]
     pw = dict(zip(res["target_labels"], res["powers"]["corrected"][0]))
     assert pw["g1[2]:g2[2]"] > 0.8, pw
+
+
+def test_per_factor_sampled_proportions_override():
+    """A per-factor sampled_proportions=True override (reference
+    variables.py:266-280) breaks deterministic confounding: two
+    identical-proportion factors fit cleanly when one samples per row."""
+    m = MCPower("y ~ g1 + g2")
+    m.set_variable_type("g1=(factor,3)")
+    m.set_variable_type("g2=(factor,3)")
+    m._ensure_applied()
+    m._registry.set_variable_type(
+        "g2",
+        {"type": "factor", "n_levels": 3, "proportions": [1 / 3] * 3,
+         "sampled_proportions": True},
+    )
+    m._applied = True  # keep the modified registry
+    m._effects = {"g1[2]": 0.5}
+    m.set_simulations(40)
+    m.seed = 3
+    res = m.find_power(sample_size=150, verbose=False)
+    assert res["convergence_rate"] == [1.0]
+    assert not any("confounded" in w for w in res["warnings"])

@@ -238,3 +238,21 @@ def test_small_cluster_warning():
     assert any("rows each" in w for w in res["warnings"]), res["warnings"]
     res2 = m.find_power(sample_size=600, verbose=False)  # 20 rows/cluster
     assert not any("rows each" in w for w in res2["warnings"])
+
+
+def test_boundary_warning_gates_on_high_tau_only():
+    """The report's boundary red flag gates on the HIGH-tau rate only
+    (reference tables.py diagnostic_warnings, decision 2.2): a large benign
+    tau-zero rate must NOT warn; a high-tau rate above the threshold must."""
+    from mcpower_tpu.output.report import _diagnostics as diagnostic_lines
+
+    base = {
+        "convergence_rate": [1.0],
+        "boundary_hit_rate_tau_zero": [0.40],
+        "boundary_hit_rate_high_tau": [0.0],
+        "warnings": [],
+    }
+    assert not [w for w in diagnostic_lines(base) if "boundary" in w]
+    base["boundary_hit_rate_high_tau"] = [0.05]
+    warns = diagnostic_lines(base)
+    assert any("high-τ̂ boundary" in w and "5.0%" in w for w in warns), warns

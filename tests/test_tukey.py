@@ -184,3 +184,29 @@ def test_user_alias_tukey_reaches_engine():
         assert corr_t < unc_n
         # same seed, same draws: the uncorrected side is untouched by tukey
         assert res_t["powers"]["uncorrected"][0][j] == unc_n
+
+
+def test_tukey_with_explicit_marginal_targets_warns():
+    """correction='tukey' + explicitly named marginal targets warns
+    (reference spec_builder.py:306-323); the default all-betas shorthand
+    (target_test=None) stays silent."""
+    import warnings as _w
+
+    from mcpower_tpu import MCPower
+
+    def mk():
+        m = MCPower("y ~ x1 + g")
+        m.set_variable_type("g=(factor,3)")
+        m.set_effects("x1=0.3, g[2]=0.4").set_simulations(40).set_seed(5)
+        return m
+
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        mk().find_power(100, target_test="all, all-contrasts",
+                        correction="tukey", verbose=False)
+    assert any("Tukey HSD" in str(x.message) for x in w), [str(x.message) for x in w]
+
+    with _w.catch_warnings(record=True) as w2:
+        _w.simplefilter("always")
+        mk().find_power(100, correction="tukey", verbose=False)
+    assert not any("Tukey HSD" in str(x.message) for x in w2)
