@@ -530,6 +530,10 @@ class MCPower:
         return s
 
     def set_scenario_configs(self, configs: Dict[str, Dict[str, Any]]) -> "MCPower":
+        if not isinstance(configs, dict):
+            raise ValueError("set_scenario_configs expects {label: {knob: value}}")
+        from .config import DISTRIBUTION_NAMES, RESIDUAL_NAMES
+
         for label, cfg in configs.items():
             base = self._scenario_configs.setdefault(
                 label, dict(self._scenario_configs.get("realistic", {}))
@@ -539,6 +543,19 @@ class MCPower:
                 raise ValueError(
                     f"unknown scenario keys for {label!r}: {sorted(unknown)}"
                 )
+            # Distribution-name whitelists (reference APIC-80: an unknown
+            # name in new_distributions/residual_dists is a loud error, not
+            # a silent engine fallback).
+            for key, allowed in (
+                ("new_distributions", DISTRIBUTION_NAMES),
+                ("residual_dists", RESIDUAL_NAMES),
+            ):
+                bad = [d for d in cfg.get(key, []) if d not in allowed]
+                if bad:
+                    raise ValueError(
+                        f"unknown distribution(s) {bad} in {label!r}.{key}; "
+                        f"valid: {sorted(allowed)}"
+                    )
             base.update(cfg)
         return self
 
@@ -597,6 +614,7 @@ class MCPower:
         self._corr_pairs = []
         for entry in self._pending_correlations:
             if isinstance(entry, list):
+                self._validate_corr_matrix(entry, reg)
                 self._corr_matrix = entry
                 self._corr_pairs = []
             else:
@@ -622,12 +640,41 @@ class MCPower:
 
         self._applied = True
 
+    @staticmethod
+    def _validate_corr_matrix(mat, reg) -> None:
+        """Structural checks on a full correlation matrix (reference
+        APIC-35/81/82): shape matches the non-factor predictor count,
+        symmetric, unit diagonal. Asymmetry and a non-unit diagonal are
+        wire-unrepresentable (only the upper triangle crosses the engine
+        boundary), so they must be rejected loudly here, not silently
+        symmetrized."""
+        a = np.asarray(mat, dtype=np.float64)
+        k = len(reg.non_factor_names)
+        if a.ndim != 2 or a.shape != (k, k):
+            raise ValueError(
+                f"correlation matrix must be {k}x{k} (one row per non-factor "
+                f"predictor: {reg.non_factor_names}); got shape "
+                f"{tuple(a.shape)}"
+            )
+        if not np.allclose(a, a.T, atol=1e-12):
+            raise ValueError("correlation matrix must be symmetric")
+        if not np.allclose(np.diag(a), 1.0, atol=1e-12):
+            raise ValueError("correlation matrix diagonal must be 1.0")
+        off = a[~np.eye(k, dtype=bool)]
+        if off.size and (np.min(off) < -1.0 or np.max(off) > 1.0):
+            raise ValueError("correlations must lie in [-1, 1]")
+
     def _resolve_scenarios_arg(self, scenarios) -> List[str]:
         if scenarios is False or scenarios is None:
             return ["optimistic"]
         if scenarios is True:
             return ["optimistic", "realistic", "doomer"]
         names = list(scenarios)
+        if not names:
+            raise ValueError(
+                "scenarios=[] selects nothing — pass True, False, or a "
+                "non-empty list of scenario labels"
+            )
         for n in names:
             if n not in self._scenario_configs:
                 raise ValueError(
