@@ -45,6 +45,14 @@ class CrossingFit:
     n_min: Optional[int] = None  # at_or_below_min
     max_violation: Optional[float] = None  # non_monotone
 
+    def to_dict(self) -> dict:
+        """Result-tree form. ``status`` duplicates ``kind`` — the reference
+        envelope's key for the same vocabulary (result_host.rs:292
+        status-tagged map), kept so reference-written consumers read it."""
+        d = dict(self.__dict__)
+        d["status"] = self.kind
+        return d
+
 
 def pava(y: Sequence[float]) -> np.ndarray:
     """Least-squares non-decreasing fit (pool adjacent violators), unweighted."""

@@ -67,6 +67,11 @@ def merge_power_results(parts: Sequence[Dict]) -> Dict:
         "ci_uncorrected": np.stack([lo_u, hi_u], axis=-1).tolist(),
         "ci_corrected": np.stack([lo_c, hi_c], axis=-1).tolist(),
     }
+    # Flat reference-envelope aliases track the pooled values exactly.
+    out["power_uncorrected"] = out["powers"]["uncorrected"]
+    out["power_corrected"] = out["powers"]["corrected"]
+    out["ci_uncorrected"] = out["powers"]["ci_uncorrected"]
+    out["ci_corrected"] = out["powers"]["ci_corrected"]
     out["convergence_rate"] = (pooled["converged_counts"] / max(n, 1)).tolist()
 
     # Boundary-hit rates are per-sim means — n-weighted pooling recovers the

@@ -87,6 +87,20 @@ def fold_counts(
         if n_done
         else [1.0] * n_grid,
         "warnings": list(warnings or []),
+        # Flat reference-envelope aliases (result_host.rs:63-140): the
+        # reference's raw dict exposes per-N power/CI lists and the integer
+        # target layout at the top level — kept so code written against the
+        # reference port reads this tree unchanged (EP-1 contract:
+        # len(power_uncorrected[g]) == len(target_indices) +
+        # len(contrast_pairs)).
+        "n_sample_sizes": n_grid,
+        "n_targets": k,
+        "target_indices": [int(c) for c in spec.target_cols],
+        "contrast_pairs": [[int(a), int(b)] for a, b in spec.contrasts],
+        "power_uncorrected": p_unc.tolist(),
+        "power_corrected": p_corr.tolist(),
+        "ci_uncorrected": np.stack([ci_unc_lo, ci_unc_hi], axis=-1).tolist(),
+        "ci_corrected": np.stack([ci_corr_lo, ci_corr_hi], axis=-1).tolist(),
     }
 
     # Boundary-hit rates at the result-envelope top level (reference
@@ -198,20 +212,3 @@ def fold_counts(
     return result
 
 
-def point_view(result: Dict, g: int = 0) -> Dict:
-    """Single-grid-point projection of a folded result (find_power shape)."""
-    out = dict(result)
-    out["sample_size"] = result["sample_sizes"][g]
-    out["power_uncorrected"] = dict(
-        zip(result["target_labels"], result["powers"]["uncorrected"][g])
-    )
-    out["power_corrected"] = dict(
-        zip(result["target_labels"], result["powers"]["corrected"][g])
-    )
-    out["ci_uncorrected"] = dict(
-        zip(result["target_labels"], result["powers"]["ci_uncorrected"][g])
-    )
-    out["ci_corrected"] = dict(
-        zip(result["target_labels"], result["powers"]["ci_corrected"][g])
-    )
-    return out

@@ -124,7 +124,7 @@ def derive_sample_size_outputs(res: Dict, *, target_power, atom) -> None:
             target_power,
             atom,
         )
-        fits[label] = fit.__dict__
+        fits[label] = fit.to_dict()
     res["first_achieved"] = first
     res["fitted"] = fits
 
@@ -150,7 +150,7 @@ def derive_sample_size_outputs(res: Dict, *, target_power, atom) -> None:
             )
             fitted_joint[j] = crossing.fit_crossing(
                 grid_ns, counts, n_done, target_power, atom
-            ).__dict__
+            ).to_dict()
         res["first_joint_achieved"] = first_joint
         res["fitted_joint"] = fitted_joint
     if "overall_counts" in res:
@@ -166,7 +166,7 @@ def derive_sample_size_outputs(res: Dict, *, target_power, atom) -> None:
         )
         res["fitted_overall"] = crossing.fit_crossing(
             grid_ns, oc, n_done, target_power, atom
-        ).__dict__
+        ).to_dict()
 
 
 def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None):

@@ -151,3 +151,44 @@ def test_effect_interaction_keys():
         "a:b=0.2", "effect", ["a[2]:b[2]"], interaction_terms=[["a", "b"]]
     )
     assert errs == ['unknown assignment name: "a:b"']
+
+
+_SUITE = json.loads((FIXTURES / "canonical-suite.json").read_text())
+_SUITE_CASES = _SUITE["cases"]
+
+
+def _canonical(p) -> dict:
+    """Port-neutral canonical shape (reference tests/spec/test_canonical_suite.py)."""
+    fixed = []
+    for t in p.terms:
+        if t["kind"] == "main":
+            fixed.append(t["name"])
+        else:
+            fixed.append(":".join(t["vars"]))
+    res = []
+    for r in p.random_effects:
+        if r.kind == "intercept":
+            res.append(f"intercept|{r.group}")
+        else:
+            res.append(f"slope({','.join(r.vars)})|{r.group}")
+    return {
+        "outcome": p.dependent,
+        "fixed_effects": fixed,
+        "random_effects": res,
+    }
+
+
+@pytest.mark.parametrize(
+    "case", _SUITE_CASES, ids=[c["id"] for c in _SUITE_CASES]
+)
+def test_canonical_suite(case):
+    """The cross-port canonical formula suite, verbatim from the reference's
+    configs/formula-fixtures/canonical-suite.json."""
+    import re as _re
+
+    if "error" in case:
+        with pytest.raises(FormulaError, match=_re.escape(case["error"])):
+            parse_formula(case["formula"])
+    else:
+        parsed = parse_formula(case["formula"])
+        assert _canonical(parsed) == case["expected"]

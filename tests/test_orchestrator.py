@@ -295,3 +295,38 @@ def test_split_sims_disjoint_cover():
     assert sum(c for _, c in parts) == 1000
     offs = [o for o, _ in parts]
     assert offs == sorted(offs)
+
+
+def test_flat_reference_envelope_aliases():
+    """The raw result dict exposes the reference envelope's flat keys
+    (result_host.rs:63-140): per-N power/CI lists sized
+    len(target_indices) + len(contrast_pairs) (EP-1), integer target
+    layout, and status-tagged crossing fits."""
+    from mcpower_tpu import MCPower
+
+    m = MCPower("y ~ x1 + group")
+    m.set_variable_type("group=(factor,0.34,0.33,0.33)")
+    m.set_effects("x1=0.3, group[2]=0.4, group[3]=0.4")
+    m.set_simulations(100).set_seed(2137)
+    res = m.find_power(
+        150, target_test="x1, group[2] vs group[3]", verbose=False
+    )
+    ti, cp = res["target_indices"], res["contrast_pairs"]
+    assert len(ti) == 1 and len(cp) == 1
+    expected = len(ti) + len(cp)
+    assert len(res["power_uncorrected"][0]) == expected
+    assert len(res["ci_uncorrected"][0]) == expected
+    assert res["power_corrected"][0] == res["powers"]["corrected"][0]
+    assert res["n_targets"] == expected and res["n_sample_sizes"] == 1
+
+    res2 = m.find_sample_size(
+        from_size=50, to_size=150, by=50,
+        target_test="x1, group[2] vs group[3]", verbose=False,
+    )
+    assert len(res2["first_achieved"]) == expected
+    assert len(res2["fitted"]) == expected
+    for f in res2["fitted"].values():
+        assert f["status"] == f["kind"]
+        assert f["status"] in {"fitted", "at_or_below_min", "not_reached", "non_monotone"}
+    for row in res2["power_uncorrected"]:
+        assert len(row) == expected

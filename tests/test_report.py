@@ -123,7 +123,7 @@ def test_joint_per_k_derivation_matches_tail_sums():
         assert res["first_joint_achieved"][j] == expect_first, j
         expect_fit = crossing.fit_crossing(
             grid_ns, counts, n, 80.0, 1
-        ).__dict__
+        ).to_dict()
         assert res["fitted_joint"][j] == expect_fit, j
     # at-least-1 dominates at-least-2 everywhere => required N is weakly lower
     f1 = res["first_joint_achieved"][0]
