@@ -868,9 +868,16 @@ class MCPower:
 
         n = int(n_sims) if n_sims is not None else self.n_simulations
         base_seed = self._base_seed(seed)
+        token = CancellationToken()
         results = runner.find_power(
-            lowered, n_sims=n, base_seed=base_seed, progress=progress_callback
+            lowered, n_sims=n, base_seed=base_seed, progress=progress_callback,
+            cancel=token,
         )
+        # Reference boundary semantics (engine-py): a cancelled run raises
+        # KeyboardInterrupt at the API edge — callers opt into cancellation
+        # (callback returns False / raises), so partial counts are discarded.
+        if token.is_cancelled():
+            raise KeyboardInterrupt("power run cancelled by progress callback")
         out = self._package(results, names, kind="power")
         if verbose:
             print(out.summary())
@@ -934,10 +941,15 @@ class MCPower:
 
         n = int(n_sims) if n_sims is not None else self.n_simulations
         base_seed = self._base_seed(seed)
+        token = CancellationToken()
         results = runner.find_sample_size(
             lowered, n_sims=n, base_seed=base_seed, target_power=tpow,
-            atom=atom, progress=progress_callback,
+            atom=atom, progress=progress_callback, cancel=token,
         )
+        if token.is_cancelled():
+            raise KeyboardInterrupt(
+                "sample-size run cancelled by progress callback"
+            )
         out = self._package(results, names, kind="sample_size")
         if verbose:
             print(out.summary(target_power=tpow))

@@ -71,7 +71,14 @@ class ProgressRouter:
     def emit(self, event: ProgressEvent) -> None:
         if event.kind == "sims_completed":
             if self._cb is not None:
-                keep_going = self._cb(event.done, event.total)
+                # A callback exception is treated as a cancel request, not a
+                # crash (reference engine-py boundary: exception in the
+                # callback → cancel → KeyboardInterrupt at the API edge).
+                try:
+                    keep_going = self._cb(event.done, event.total)
+                except Exception:
+                    self.cancel.cancel()
+                    return
                 if keep_going is False:
                     self.cancel.cancel()
             elif self._tqdm_factory is not None:

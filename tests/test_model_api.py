@@ -490,3 +490,33 @@ def test_per_factor_sampled_proportions_override():
     res = m.find_power(sample_size=150, verbose=False)
     assert res["convergence_rate"] == [1.0]
     assert not any("confounded" in w for w in res["warnings"])
+
+
+def test_progress_cancel_raises_keyboard_interrupt():
+    """Reference engine-py boundary semantics: a progress callback that
+    returns False — or raises — cancels the run, surfaced as
+    KeyboardInterrupt at the API edge."""
+    m = MCPower("y ~ x1")
+    m.set_effects("x1=0.4").set_simulations(400).set_seed(1)
+    with pytest.raises(KeyboardInterrupt):
+        m.find_power(100, progress_callback=lambda done, total: False,
+                     verbose=False)
+
+    def boom(done, total):
+        raise RuntimeError("user bailed")
+
+    m2 = MCPower("y ~ x1")
+    m2.set_effects("x1=0.4").set_simulations(400).set_seed(1)
+    with pytest.raises(KeyboardInterrupt):
+        m2.find_power(100, progress_callback=boom, verbose=False)
+
+    # a well-behaved callback sees (done, total) counts and the run finishes
+    seen = []
+    m3 = MCPower("y ~ x1")
+    m3.set_effects("x1=0.4").set_simulations(400).set_seed(1)
+    res = m3.find_power(
+        100, progress_callback=lambda d, t: seen.append((d, t)) or True,
+        verbose=False,
+    )
+    assert res["n_sims"] == 400
+    assert seen and seen[-1][0] == seen[-1][1] == 400
