@@ -546,12 +546,17 @@ def short_report(result: Dict) -> str:
     )
 
     n0 = (inner0.get("sample_sizes") or ["?"])[0]
+    # Header tokens match the reference's render_short (tables.py:582-584):
+    # "Power Analysis — <est>  N=..  sims=..  α=..  target=.." + a
+    # "formula: .." line, so content greps written against the reference
+    # port keep working.
     head = (
-        f"MCPower · {meta.get('formula', result.get('formula', ''))} · "
-        f"{str(meta.get('estimator', '')).upper()}"
-        + (f" · N={n0}" if kind == "power" else "")
-        + f" · sims={inner0.get('n_sims', '?')}"
-        + f" · α={meta.get('alpha', result.get('alpha', 0.05))}"
+        f"Power Analysis — {str(meta.get('estimator', '')).upper()}"
+        + (f"  N={n0}" if kind == "power" else "")
+        + f"  sims={inner0.get('n_sims', '?')}"
+        + f"  α={meta.get('alpha', result.get('alpha', 0.05))}"
+        + f"  target={tcell}"
+        + f"\nformula: {meta.get('formula', result.get('formula', ''))}"
     )
 
     plan = _with_factor_headers(

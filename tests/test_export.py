@@ -224,7 +224,7 @@ def test_repr_mimebundle_vega_payload():
     vl = mb["application/vnd.vegalite.v5+json"]
     assert vl["config"]["background"] == "#ffffff"  # light-print applied
     assert "power" in vl["description"].lower()
-    assert mb["text/plain"].startswith("MCPower ·")
+    assert mb["text/plain"].startswith("Power Analysis —")
     assert "<table" in mb["text/html"]
 
     m = MCPower("y ~ x1")

@@ -193,7 +193,9 @@ def test_short_form_repr():
     m.set_effects("x1=0.5, x2=0.3").set_simulations(200).set_seed(2)
     res = m.find_power(sample_size=120, correction="holm", verbose=False)
     short = repr(res)
-    assert short.startswith("MCPower · y ~ x1 + x2 · OLS · N=120")
+    # header tokens mirror the reference's render_short (tables.py:582-584)
+    assert short.startswith("Power Analysis — OLS  N=120")
+    assert "formula: y ~ x1 + x2" in short and "target=" in short
     assert "(same)" in short            # omnibus corrected cell
     assert "Uncorr." in short and "Corr." in short
     assert "CI 95%" not in short        # no CI columns in the short form
