@@ -356,8 +356,18 @@ class MCPower:
                 f"nested grouping {grouping_var!r} requires n_per_parent="
             )
         for v in cluster_level_vars or []:
+            if v in self._registry.grouping_names:
+                raise ValueError(
+                    f"cluster_level_vars: {v!r} is the grouping variable "
+                    "itself, not a predictor"
+                )
             if v not in self._registry.predictor_names:
                 raise ValueError(f"cluster_level_vars: {v!r} is not a predictor")
+            if self._uploaded is not None and v in self._uploaded.columns:
+                raise ValueError(
+                    f"cluster_level_vars: {v!r} is bound to uploaded data — "
+                    "uploaded rows carry no cluster structure to broadcast"
+                )
         for v in random_slopes or []:
             if v not in self._registry.predictor_names:
                 raise ValueError(f"random_slopes: {v!r} is not a predictor")
@@ -375,8 +385,18 @@ class MCPower:
         self._applied = False
         return self
 
-    def upload_data(self, data, *, mode: str = "partial") -> "MCPower":
+    def upload_data(
+        self,
+        data,
+        columns: Optional[List[str]] = None,
+        mode: str = "partial",
+        verbose: bool = True,
+    ) -> "MCPower":
         """Attach pilot data to drive the generation process.
+
+        ``data`` accepts a dict of columns, a list of row dicts, a csv/tsv
+        path, a DataFrame-like, or a bare 2-D matrix together with
+        ``columns`` naming its columns (reference model.py:841-847 form).
 
         ``mode='partial'`` (NORTA): uploaded columns keep their empirical
         marginals through the Gaussian copula; correlations are measured
@@ -388,6 +408,14 @@ class MCPower:
         from .data.upload import prepare_upload, UploadError
 
         self._ensure_applied()
+        if columns is not None:
+            arr = np.asarray(data)
+            if arr.ndim != 2 or arr.shape[1] != len(columns):
+                raise UploadError(
+                    f"matrix upload needs shape (n_rows, {len(columns)}) to "
+                    f"match columns={columns}; got {arr.shape}"
+                )
+            data = {str(c): arr[:, j] for j, c in enumerate(columns)}
         # Only EXPLICIT type declarations lock against detection; the default
         # "normal" placeholder defers to what the data says.
         declared = {
@@ -396,17 +424,20 @@ class MCPower:
             if self._registry._pinned.get(n)
         }
         up = prepare_upload(data, mode=mode, declared_types=declared)
-        extra = [
-            n for n in up.columns
-            if n not in self._registry.predictor_names
-            and n != self._registry.dependent
-        ]
         # extra columns (incl. a y column for get_effects_from_data) are kept
         # but only predictor columns drive generation
         self._uploaded = up
         self._upload_vt_index = len(self._pending_variable_types)
         # type-lock: detection updates the registry's view of uploaded columns
         self._lock_uploaded_types(self._registry)
+        if verbose:
+            modeled = set(self._registry.predictor_names) | {
+                self._registry.dependent
+            }
+            print(f"Uploaded {up.n_rows} rows, {len(up.columns)} columns.")
+            for name, col in up.columns.items():
+                status = "matched" if name in modeled else "extra"
+                print(f"  {name}: {col.kind} ({status})")
         return self
 
     def _lock_uploaded_types(self, reg) -> None:

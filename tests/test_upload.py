@@ -558,3 +558,47 @@ def test_strict_reuse_note_printed_verbose(capsys):
     m2.upload_data(d, mode="partial")
     m2.find_power(sample_size=100, verbose=True)
     assert "[strict bootstrap]" not in capsys.readouterr().out
+
+
+def test_matrix_upload_with_column_names(capsys):
+    """upload_data accepts a bare 2-D matrix + column names and prints the
+    detection summary at verbose time (reference model.py:841-847,908-912)."""
+    rs = np.random.RandomState(0)
+    arr = np.column_stack([rs.normal(size=60), rs.normal(size=60)])
+    m = MCPower("y ~ x1")
+    m.upload_data(arr, ["x1", "y"])
+    out = capsys.readouterr().out
+    assert "Uploaded 60 rows, 2 columns." in out
+    assert "x1: continuous (matched)" in out
+    assert m._uploaded.n_rows == 60
+    # shape mismatch is a loud error
+    from mcpower_tpu.data.upload import UploadError
+
+    with pytest.raises(UploadError, match="shape"):
+        MCPower("y ~ x1").upload_data(arr, ["x1", "y", "z"])
+    # verbose=False stays silent
+    m2 = MCPower("y ~ x1")
+    m2.upload_data(arr, ["x1", "y"], verbose=False)
+    assert capsys.readouterr().out == ""
+
+
+def test_cluster_level_vars_guards():
+    """cluster_level_vars rejects the grouping variable itself and
+    uploaded-bound predictors (reference test_set_cluster.py:296-333)."""
+    rs = np.random.RandomState(1)
+    arr = np.column_stack([rs.normal(size=60), rs.normal(size=60)])
+
+    m = MCPower("y ~ x1 + (1|school)", family="lme")
+    m.set_effects("x1=0.3")
+    with pytest.raises(ValueError, match="grouping variable"):
+        m.set_cluster("school", ICC=0.2, n_clusters=20,
+                      cluster_level_vars=["school"])
+
+    m2 = MCPower("y ~ x1 + (1|school)", family="lme")
+    m2.set_effects("x1=0.3")
+    m2.upload_data(arr, ["x1", "y"], verbose=False)
+    with pytest.raises(ValueError, match="uploaded"):
+        m2.set_cluster("school", ICC=0.2, n_clusters=20,
+                       cluster_level_vars=["x1"])
+    with pytest.raises(TypeError):
+        m2.set_cluster("school", ICC=0.2, n_clusters=20, between_vars=["x1"])
