@@ -824,6 +824,18 @@ class MCPower:
                 "set_baseline_rate(r) to anchor the expected count at the "
                 "predictor means (the intercept is log r)"
             )
+        # Binary families likewise hard-require an anchored baseline
+        # (reference model.py:1262-1266 '_validate_logit_runtime'): a silent
+        # p=0.5 default materially changes power for rare-event designs.
+        if (
+            self.family in ("logit", "probit")
+            and self._pending_baseline_probability is None
+        ):
+            raise ValueError(
+                f"baseline probability required for family={self.family!r}: "
+                "call set_baseline_probability(p) to anchor the outcome rate "
+                "at the predictor means (the intercept is the link of p)"
+            )
 
     def _primary_cluster(self):
         if not self._clusters:

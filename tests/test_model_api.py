@@ -205,6 +205,7 @@ def test_glmm_laplace_bias_warning_fires():
     m = MCPower("y ~ x + (1|site)", family="logit")
     m.set_cluster("site", ICC=0.5, n_clusters=20)
     m.set_effects("x=0.3").set_simulations(80)
+    m.set_baseline_probability(0.5)
     res = m.find_power(sample_size=100, verbose=False)  # 5 rows/cluster < 10
     tau = max(res["estimator_extras"]["glm"]["tau_squared_hat_mean"])
     assert tau > 1.0  # true tau^2 ~ 3.29 at ICC 0.5 (logit)
@@ -520,3 +521,15 @@ def test_progress_cancel_raises_keyboard_interrupt():
     )
     assert res["n_sims"] == 400
     assert seen and seen[-1][0] == seen[-1][1] == 400
+
+
+def test_logit_requires_baseline_probability():
+    """Binary families hard-require an anchored baseline at run time
+    (reference _validate_logit_runtime: 'baseline probability required') —
+    a silent p=0.5 default materially changes rare-event power."""
+    m = MCPower("y ~ x", family="logit")
+    m.set_effects("x=0.5").set_simulations(20)
+    with pytest.raises(ValueError, match="baseline probability required"):
+        m.find_power(sample_size=100, verbose=False)
+    m.set_baseline_probability(0.3)
+    m.find_power(sample_size=100, verbose=False)  # anchored: runs
