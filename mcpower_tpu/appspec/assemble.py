@@ -315,7 +315,7 @@ def assemble(app: AppSpec) -> Assembled:
 
     # uploaded data
     if app.csv is not None:
-        model.upload_data(app.csv.columns, mode=app.csv.mode)
+        model.upload_data(app.csv.columns, mode=app.csv.mode, verbose=False)
 
     # tests -> target_test DSL (All -> "overall" expansion = our "all"
     # keyword; assemble.rs:697 maps All to the expanding "overall" target)

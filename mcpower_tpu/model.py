@@ -836,6 +836,21 @@ class MCPower:
                 "call set_baseline_probability(p) to anchor the outcome rate "
                 "at the predictor means (the intercept is the link of p)"
             )
+        # cluster_level_vars × upload interplay is order-independent here
+        # (the setter can only catch upload-then-set_cluster): an uploaded
+        # column carries no cluster structure to broadcast.
+        if self._uploaded is not None:
+            for gvar, cfg in self._clusters.items():
+                bad = [
+                    v for v in cfg.get("cluster_level_vars", [])
+                    if v in self._uploaded.columns
+                ]
+                if bad:
+                    raise ValueError(
+                        f"cluster_level_vars for {gvar!r}: {bad} are bound "
+                        "to uploaded data — uploaded rows carry no cluster "
+                        "structure to broadcast"
+                    )
 
     def _primary_cluster(self):
         if not self._clusters:
@@ -924,7 +939,8 @@ class MCPower:
         out = self._package(results, names, kind="power")
         if verbose:
             print(out.summary())
-            self._emit_reuse_notes(out, sample_size=sample_size)
+            # the SNAPPED N — what the datasets were actually drawn at
+            self._emit_reuse_notes(out, sample_size=n_snapped)
         self.last_result = out
         return out
 
@@ -1035,6 +1051,10 @@ class MCPower:
         for name in self._registry.factor_names:
             if self._registry.var_info(name).get("sampled_proportions"):
                 continue  # per-factor override: independently sampled per row
+            if self._uploaded is not None and name in self._uploaded.columns:
+                # uploaded factors generate from the pilot frame
+                # (factor_from_frame), not the shared Hamilton walk
+                continue
             key = tuple(round(p, 12) for p in self._registry.factor_proportions(name))
             if key in seen:
                 msg = (

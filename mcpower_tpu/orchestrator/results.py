@@ -66,6 +66,10 @@ def fold_counts(
     p_corr = sig_corr / max(n_done, 1)
     ci_unc_lo, ci_unc_hi = wilson_ci(sig_unc, n_done)
     ci_corr_lo, ci_corr_hi = wilson_ci(sig_corr, n_done)
+    p_unc_l = p_unc.tolist()
+    p_corr_l = p_corr.tolist()
+    ci_unc_l = np.stack([ci_unc_lo, ci_unc_hi], axis=-1).tolist()
+    ci_corr_l = np.stack([ci_corr_lo, ci_corr_hi], axis=-1).tolist()
 
     result: Dict = {
         "n_sims": n_done,
@@ -75,10 +79,10 @@ def fold_counts(
         "alpha_correction": spec.correction,
         "scenario": spec.scenario.label,
         "powers": {
-            "uncorrected": p_unc.tolist(),
-            "corrected": p_corr.tolist(),
-            "ci_uncorrected": np.stack([ci_unc_lo, ci_unc_hi], axis=-1).tolist(),
-            "ci_corrected": np.stack([ci_corr_lo, ci_corr_hi], axis=-1).tolist(),
+            "uncorrected": p_unc_l,
+            "corrected": p_corr_l,
+            "ci_uncorrected": ci_unc_l,
+            "ci_corrected": ci_corr_l,
         },
         "success_counts_uncorrected": sig_unc.tolist(),
         "success_counts_corrected": sig_corr.tolist(),
@@ -97,10 +101,10 @@ def fold_counts(
         "n_targets": k,
         "target_indices": [int(c) for c in spec.target_cols],
         "contrast_pairs": [[int(a), int(b)] for a, b in spec.contrasts],
-        "power_uncorrected": p_unc.tolist(),
-        "power_corrected": p_corr.tolist(),
-        "ci_uncorrected": np.stack([ci_unc_lo, ci_unc_hi], axis=-1).tolist(),
-        "ci_corrected": np.stack([ci_corr_lo, ci_corr_hi], axis=-1).tolist(),
+        "power_uncorrected": p_unc_l,
+        "power_corrected": p_corr_l,
+        "ci_uncorrected": ci_unc_l,
+        "ci_corrected": ci_corr_l,
     }
 
     # Boundary-hit rates at the result-envelope top level (reference

@@ -164,7 +164,6 @@ def _diagnostics(res: Dict) -> List[str]:
             f"⚠ convergence rate {conv:.1%} below {_THR['convergence_min']:.0%}"
         )
     extras = res.get("estimator_extras", {})
-    mle = extras.get("mle", {})
     # Boundary gate on HIGH-τ̂ only (reference tables.py:676-684, decision
     # 2.2): benign τ̂=0 pins are common at small ICC and stay informational
     # (surfaced in the estimator-extras block), never a red-flag warning.

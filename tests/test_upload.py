@@ -602,3 +602,39 @@ def test_cluster_level_vars_guards():
                        cluster_level_vars=["x1"])
     with pytest.raises(TypeError):
         m2.set_cluster("school", ICC=0.2, n_clusters=20, between_vars=["x1"])
+
+
+def test_cluster_level_vars_upload_order_independent():
+    """The uploaded-column guard fires regardless of set_cluster/upload_data
+    call order (review finding: the setter-side check alone was bypassed by
+    set_cluster-then-upload)."""
+    rs = np.random.RandomState(2)
+    m = MCPower("y ~ x1 + (1|school)", family="lme")
+    m.set_effects("x1=0.3").set_simulations(10)
+    m.set_cluster("school", ICC=0.2, n_clusters=10, cluster_level_vars=["x1"])
+    m.upload_data({"x1": rs.normal(size=60), "y": rs.normal(size=60)},
+                  verbose=False)
+    with pytest.raises(ValueError, match="uploaded"):
+        m.find_power(100, verbose=False)
+
+
+def test_uploaded_factors_not_flagged_confounded():
+    """Identical-proportion factors bound to uploaded data generate from the
+    pilot frame, not the shared Hamilton walk — the deterministic-confounding
+    preflight must stay silent and the fit must converge."""
+    import warnings as _w
+
+    rs = np.random.RandomState(2)
+    lv = np.array(["a", "b", "c"])
+    m = MCPower("y ~ g1 + g2")
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        m.upload_data(
+            {"g1": lv[rs.randint(0, 3, 90)], "g2": lv[rs.randint(0, 3, 90)],
+             "y": rs.normal(size=90)},
+            verbose=False,
+        )
+        m.set_effects("g1[b]=0.4").set_simulations(10)
+        res = m.find_power(90, verbose=False)
+    assert not any("confounded" in str(x.message) for x in w)
+    assert res["convergence_rate"] == [1.0]
