@@ -148,6 +148,17 @@ def test_merge_pools_estimator_extras_weighted():
         me["boundary_hit_rate"], fe["boundary_hit_rate"], rtol=1e-12
     )
     assert me["boundary_hits"] == fe["boundary_hits"]
+    # top-level boundary-rate envelope keys pool exactly too
+    np.testing.assert_allclose(
+        merged["boundary_hit_rate_tau_zero"],
+        full["boundary_hit_rate_tau_zero"],
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        merged["boundary_hit_rate_high_tau"],
+        full["boundary_hit_rate_high_tau"],
+        rtol=1e-12,
+    )
     # per-component pin counters pool exactly; rates re-derive from the
     # pooled converged counts
     assert me["boundary_component_counts"] == fe["boundary_component_counts"]
