@@ -125,6 +125,16 @@ def _cases():
                  effects=np.array([-0.3, 0.3, 0.2])),
         )
     )
+    # AGQ arm (nagq=7, the reference's accuracy opt-in — estimator.rs nagq):
+    # the quadrature path has its own hot loop (per-node weighted deviance
+    # sweep), previously unmonitored by the frozen grid.
+    cases.append(
+        (
+            "glmm_agq7",
+            dict(base, estimator="glm", outcome="binary", cluster=cl,
+                 effects=np.array([-0.3, 0.3, 0.2]), nagq=7),
+        )
+    )
     return cases
 
 

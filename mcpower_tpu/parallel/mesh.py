@@ -72,6 +72,61 @@ def _sharded_fn(spec: SimSpec, mesh_key):
 _MESHES: Dict = {}
 
 
+def run_batch_multihost(
+    spec: SimSpec,
+    arrays: Dict,
+    n_sims: int,
+    base_seed: int,
+    *,
+    sim_id_offset: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Multi-process (multi-host) sharded run over the GLOBAL device mesh.
+
+    Requires ``jax.distributed.initialize()`` to have run in every process.
+    The same program as ``run_batch_sharded`` executes over a mesh spanning
+    all processes' devices — the single per-run ``psum`` then crosses the
+    inter-host fabric (DCN on real TPU pods; gloo/TCP on the CPU dryrun,
+    ``benchmarks/multihost_dryrun.py``). Global sim-id addressing makes the
+    counts bit-identical to a single-process run of the same ``n_sims``.
+
+    Inputs are materialized as global ``jax.Array``s: every process holds the
+    same full host arrays, and each provides its addressable shards via
+    ``jax.make_array_from_callback`` (sim ids sharded over "sims",
+    everything else replicated). Each process returns the full pooled counts.
+    """
+    spec.validate_layout()
+    mesh = sims_mesh()
+    mesh_key = tuple(id(d) for d in mesh.devices.flat)
+    _MESHES[mesh_key] = mesh
+    nd = mesh.devices.size
+    from jax.sharding import NamedSharding
+
+    seed_lo, seed_hi = batch_mod._split_seed(base_seed)
+    fn = _sharded_fn(spec, mesh_key)
+
+    padded = -(-n_sims // nd) * nd
+    sim_ids_h = (np.arange(padded, dtype=np.uint32)
+                 + np.uint32(sim_id_offset))
+    valid_h = np.arange(padded) < n_sims
+
+    def _global(x, pspec):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, pspec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    g_arrays = {k: _global(v, P()) for k, v in arrays.items()}
+    out = fn(
+        g_arrays,
+        _global(np.uint32(seed_lo), P()),
+        _global(np.uint32(seed_hi), P()),
+        _global(sim_ids_h, P("sims")),
+        _global(valid_h, P("sims")),
+    )
+    totals = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+    totals["n_done"] = np.asarray(n_sims)
+    return totals
+
+
 def run_batch_sharded(
     spec: SimSpec,
     arrays: Dict,
