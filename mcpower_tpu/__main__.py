@@ -83,7 +83,10 @@ def cmd_run(args) -> int:
     n_snapped, _ = gridmod.snap_single_n(probe.spec.cluster, int(args.n))
     lowered = _lowered(contracts, [n_snapped])
     out = runner.find_power(
-        lowered, n_sims=int(args.n_sims), base_seed=int(args.seed)
+        lowered,
+        n_sims=int(args.n_sims),
+        base_seed=int(args.seed),
+        sim_id_offset=int(args.sim_offset),
     )
     json.dump(out, _out_fh(args), indent=None if args.compact else 2)
     print(file=_out_fh(args))
@@ -108,7 +111,41 @@ def cmd_search(args) -> int:
         base_seed=int(args.seed),
         target_power=float(args.target_power),
         atom=atom,
+        sim_id_offset=int(args.sim_offset),
     )
+    json.dump(out, _out_fh(args), indent=None if args.compact else 2)
+    print(file=_out_fh(args))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Pool per-worker part files into one result (host worker-pool verb).
+
+    Each part is the JSON a ``run``/``search`` invocation wrote; workers
+    must have run DISJOINT --sim-offset ranges of the same contract file
+    and seed (merge.split_sims convention). Counters pool exactly; every
+    rate, CI, and sample-size output is re-derived from the pooled
+    counters — the reference's merge boundary (engine-orchestrator/src/
+    merge.rs:26,242; reachable from its wasm host), here a CLI verb so a
+    cross-machine pool needs nothing but files.
+    """
+    from .orchestrator.merge import merge_power_results
+
+    parts: list = []
+    for path in args.files:
+        with open(path) as fh:
+            parts.append(json.load(fh))
+    labels = list(parts[0].keys())
+    for i, p in enumerate(parts[1:], 1):
+        if list(p.keys()) != labels:
+            raise SystemExit(
+                f"{args.files[i]}: scenario labels {list(p.keys())} != "
+                f"{labels} from {args.files[0]}"
+            )
+    out = {
+        label: merge_power_results([p[label] for p in parts])
+        for label in labels
+    }
     json.dump(out, _out_fh(args), indent=None if args.compact else 2)
     print(file=_out_fh(args))
     return 0
@@ -181,6 +218,9 @@ def main(argv=None) -> int:
     r.add_argument("--n", required=True, type=int, help="sample size")
     r.add_argument("--n-sims", default=1600, type=int)
     r.add_argument("--seed", default=2137, type=int)
+    r.add_argument("--sim-offset", default=0, type=int,
+                   help="global sim-id range start (worker pools: disjoint "
+                        "ranges of one seed, pooled with the merge verb)")
     r.add_argument("--out", default=None)
     r.add_argument("--compact", action="store_true")
     r.set_defaults(fn=cmd_run)
@@ -194,9 +234,19 @@ def main(argv=None) -> int:
     s.add_argument("--target-power", default=80.0, type=float)
     s.add_argument("--n-sims", default=1600, type=int)
     s.add_argument("--seed", default=2137, type=int)
+    s.add_argument("--sim-offset", default=0, type=int,
+                   help="global sim-id range start (worker pools)")
     s.add_argument("--out", default=None)
     s.add_argument("--compact", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    mg = sub.add_parser(
+        "merge", help="pool per-worker run/search part files (counter merge)"
+    )
+    mg.add_argument("files", nargs="+")
+    mg.add_argument("--out", default=None)
+    mg.add_argument("--compact", action="store_true")
+    mg.set_defaults(fn=cmd_merge)
 
     ar = sub.add_parser(
         "app-run", help="power at a single N for an AppSpec JSON document"

@@ -42,17 +42,25 @@ def find_power(
     cancel: Optional[CancellationToken] = None,
     chunk_size: Optional[int] = None,
     devices=None,
+    sim_id_offset: int = 0,
 ) -> Dict[str, Dict]:
     """Power at a single N (the spec's grid must be a single point), one
     result per scenario. Scenarios share the seed (paired draws where
-    unperturbed — the reference's lower_contracts invariant)."""
+    unperturbed — the reference's lower_contracts invariant).
+
+    ``sim_id_offset`` starts the global sim-id range at an offset: workers
+    of a cross-machine pool each run a disjoint range of the SAME seed
+    (merge.split_sims) and the pooled counters are draw-identical to one
+    big run — the host-pool convention (reference ports/wasm worker pool,
+    merge.rs), made exact by global-id addressing."""
     router = ProgressRouter(progress, cancel)
     out: Dict[str, Dict] = {}
     for sc in scenarios:
         if router.cancel.is_cancelled():
             break
         counts = _run_counts(
-            sc, n_sims, base_seed, router, chunk_size=chunk_size, devices=devices
+            sc, n_sims, base_seed, router, chunk_size=chunk_size,
+            devices=devices, sim_id_offset=sim_id_offset,
         )
         out[sc.label] = results.fold_counts(
             sc.spec,
@@ -75,16 +83,19 @@ def find_sample_size(
     cancel: Optional[CancellationToken] = None,
     chunk_size: Optional[int] = None,
     devices=None,
+    sim_id_offset: int = 0,
 ) -> Dict[str, Dict]:
     """Grid sample-size search: ONE batch per scenario covers every grid N
-    via CRN prefix suff-stats; first-achieved read-off + crossing fits."""
+    via CRN prefix suff-stats; first-achieved read-off + crossing fits.
+    ``sim_id_offset`` as in find_power (disjoint worker ranges for merge)."""
     router = ProgressRouter(progress, cancel)
     out: Dict[str, Dict] = {}
     for sc in scenarios:
         if router.cancel.is_cancelled():
             break
         counts = _run_counts(
-            sc, n_sims, base_seed, router, chunk_size=chunk_size, devices=devices
+            sc, n_sims, base_seed, router, chunk_size=chunk_size,
+            devices=devices, sim_id_offset=sim_id_offset,
         )
         res = results.fold_counts(
             sc.spec,
@@ -169,7 +180,8 @@ def derive_sample_size_outputs(res: Dict, *, target_power, atom) -> None:
         ).to_dict()
 
 
-def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None):
+def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None,
+                sim_id_offset=0):
     from ..config import CONFIG
 
     total = n_sims
@@ -193,6 +205,7 @@ def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None):
             chunk_size=chunk,
             progress=cb,
             cancel=router.cancel,
+            sim_id_offset=sim_id_offset,
         )
     return batch.run_batch(
         sc.spec,
@@ -202,4 +215,5 @@ def _run_counts(sc, n_sims, base_seed, router, chunk_size=None, devices=None):
         chunk_size=chunk,
         progress=cb,
         cancel=router.cancel,
+        sim_id_offset=sim_id_offset,
     )

@@ -93,3 +93,54 @@ def test_cli_invalid_contract_fails(tmp_path):
     path = str(tmp_path / "bad.msgpack")
     wire.dump(c, path)
     assert main(["validate", path]) == 1
+
+
+def test_cli_worker_pool_merge_exact(tmp_path):
+    """Two CLI workers on disjoint --sim-offset ranges + the merge verb
+    reproduce a one-shot run's counters EXACTLY (global sim-id addressing;
+    reference merge boundary merge.rs:26 reachable from its wasm host)."""
+    from mcpower_tpu.__main__ import main
+
+    contracts = _contracts()
+    path = str(tmp_path / "contracts.msgpack")
+    wire.dump(contracts, path)
+
+    # One-shot ground truth: 100 sims.
+    one = str(tmp_path / "one.json")
+    assert main(["run", path, "--n", "120", "--n-sims", "100",
+                 "--seed", "11", "--out", one]) == 0
+
+    # Worker parts: [0, 60) and [60, 100) of the SAME seed.
+    p0 = str(tmp_path / "p0.json")
+    p1 = str(tmp_path / "p1.json")
+    assert main(["run", path, "--n", "120", "--n-sims", "60",
+                 "--seed", "11", "--out", p0]) == 0
+    assert main(["run", path, "--n", "120", "--n-sims", "40",
+                 "--seed", "11", "--sim-offset", "60", "--out", p1]) == 0
+
+    merged_path = str(tmp_path / "merged.json")
+    assert main(["merge", p0, p1, "--out", merged_path]) == 0
+
+    with open(one) as f:
+        ref = json.load(f)["optimistic"]
+    with open(merged_path) as f:
+        merged = json.load(f)["optimistic"]
+    assert merged["n_sims"] == 100
+    for key in ("success_counts_uncorrected", "success_counts_corrected",
+                "converged_counts"):
+        assert merged[key] == ref[key], key
+    assert merged["powers"]["uncorrected"] == ref["powers"]["uncorrected"]
+    assert merged["ci_corrected"] == ref["ci_corrected"]
+
+
+def test_cli_merge_rejects_mismatched_labels(tmp_path):
+    from mcpower_tpu.__main__ import main
+
+    a = str(tmp_path / "a.json")
+    b = str(tmp_path / "b.json")
+    with open(a, "w") as f:
+        json.dump({"optimistic": {}}, f)
+    with open(b, "w") as f:
+        json.dump({"doomer": {}}, f)
+    with pytest.raises(SystemExit):
+        main(["merge", a, b, "--out", str(tmp_path / "m.json")])
