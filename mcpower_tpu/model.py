@@ -986,6 +986,7 @@ class MCPower:
             from_size, to_size, by, mode, atom, hard_min
         )
 
+        preflight = self._factor_preflight(grid_ns[0], grid_ns=grid_ns)
         lowered = []
         for ps in projected:
             spec, arrays = contract_to_lowered(ps.contract, grid_ns)
@@ -994,7 +995,7 @@ class MCPower:
                     label=ps.label, spec=spec, arrays=arrays,
                     target_labels=ps.target_labels,
                     posthoc_labels=ps.posthoc_labels,
-                    warnings=ps.warnings + grid_warnings,
+                    warnings=ps.warnings + grid_warnings + preflight,
                 )
             )
 
@@ -1026,21 +1027,51 @@ class MCPower:
             return int(self.seed)
         return 0
 
-    def _factor_preflight(self, n_min: int) -> List[str]:
+    def _factor_preflight(
+        self, n_min: int, grid_ns: Optional[List[int]] = None
+    ) -> List[str]:
         """Expected-count warnings before any simulation runs (the
-        reference's factor preflight, find_power.rs:62-115)."""
+        reference's factor preflight, find_power.rs:62-115).
+
+        With ``grid_ns`` (a sample-size search), the warning also names the
+        smallest N in the searched range that clears the minimum — the
+        reference's documented search-preflight behavior
+        (web/documentation/concepts/limitations.md "Sparse factor levels")."""
         out: List[str] = []
         min_count = int(CONFIG["limits"]["factor_min_level_count"])
         for name in self._registry.factor_names:
             props = self._registry.factor_proportions(name)
-            expected_min = n_min * min(props)
+            pmin = min(props)
+            expected_min = n_min * pmin
             if expected_min < min_count:
-                out.append(
-                    f"factor {name!r}: the rarest level expects only "
-                    f"{expected_min:.1f} rows at N={n_min} (< {min_count}); "
-                    "its dummies will be unstable or excluded in many "
-                    "simulations"
-                )
+                if grid_ns:
+                    clearing = next(
+                        (int(n) for n in grid_ns if n * pmin >= min_count),
+                        None,
+                    )
+                    if clearing is None:
+                        out.append(
+                            f"factor {name!r}: the rarest level expects fewer "
+                            f"than {min_count} rows at every N in the "
+                            f"searched range (max {int(grid_ns[-1])}) — the "
+                            "factor will be excluded throughout; raise the "
+                            "range or the level's proportion"
+                        )
+                    else:
+                        out.append(
+                            f"factor {name!r}: the rarest level expects fewer "
+                            f"than {min_count} rows below N={clearing}; the "
+                            "factor will be excluded at smaller grid points "
+                            f"(smallest N in range clearing the minimum: "
+                            f"{clearing})"
+                        )
+                else:
+                    out.append(
+                        f"factor {name!r}: the rarest level expects only "
+                        f"{expected_min:.1f} rows at N={n_min} (< {min_count}); "
+                        "its dummies will be unstable or excluded in many "
+                        "simulations"
+                    )
         # Deterministic confounding: under fixed (non-sampled) allocation —
         # the default scenario — every factor's level sequence is the same
         # Hamilton walk of its proportions over rows 0..N-1 (reference

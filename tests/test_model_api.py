@@ -533,3 +533,28 @@ def test_logit_requires_baseline_probability():
         m.find_power(sample_size=100, verbose=False)
     m.set_baseline_probability(0.3)
     m.find_power(sample_size=100, verbose=False)  # anchored: runs
+
+
+def test_sample_size_search_preflight_names_clearing_n():
+    """The search preflight names the smallest in-range N clearing the
+    sparse-level minimum (reference limitations.md 'Sparse factor levels':
+    told before the simulation starts, with the clearing N)."""
+    m = MCPower("y ~ g")
+    m.set_variable_type("g=(factor,0.05,0.95)")
+    m.set_effects("g[2]=0.4").set_simulations(50)
+    res = m.find_sample_size(from_size=40, to_size=200, by=20, verbose=False)
+    ws = [w for w in res["warnings"] if "clearing the minimum" in w]
+    assert ws, res["warnings"]
+    import re
+
+    n_clear = int(re.search(r"minimum: (\d+)", ws[0]).group(1))
+    # 5% level needs ~100 rows for 5 observations; the named N clears it.
+    assert n_clear * 0.05 >= 5 and n_clear <= 200
+
+
+def test_sample_size_search_preflight_unreachable_range():
+    m = MCPower("y ~ g")
+    m.set_variable_type("g=(factor,0.05,0.95)")
+    m.set_effects("g[2]=0.4").set_simulations(50)
+    res = m.find_sample_size(from_size=40, to_size=80, by=20, verbose=False)
+    assert any("every N in the searched range" in w for w in res["warnings"])
