@@ -25,9 +25,17 @@ def run_find_power(
     doc: Any,
     sample_size: int,
     *,
+    n_sims: Optional[int] = None,
+    sim_id_offset: int = 0,
     progress: Optional[Callable[[int, int], bool]] = None,
 ) -> Dict[str, Any]:
-    """Power at one N for an AppSpec JSON document (str or dict)."""
+    """Power at one N for an AppSpec JSON document (str or dict).
+
+    ``n_sims``/``sim_id_offset`` override the document's replicate count and
+    start the global sim-id range at an offset — the worker-pool knobs a
+    pooled host (browser fan-out, multi-process) uses to run disjoint
+    ranges of one seed and merge the parts exactly (reference browser pool:
+    ports/wasm/src/index.ts:55-80 + seeds.ts)."""
     a = assemble(parse_app_spec(doc))
     result = a.model.find_power(
         sample_size,
@@ -36,6 +44,8 @@ def run_find_power(
         wald_se=a.wald_se,
         agq=a.agq,
         test_formula=a.test_formula,
+        n_sims=n_sims,
+        sim_id_offset=sim_id_offset,
         scenarios=a.scenario_labels or False,
         progress_callback=progress,
         verbose=False,
@@ -49,11 +59,15 @@ def run_find_sample_size(
     from_size: Optional[int] = None,
     to_size: Optional[int] = None,
     by: Any = None,
+    n_sims: Optional[int] = None,
+    sim_id_offset: int = 0,
     progress: Optional[Callable[[int, int], bool]] = None,
 ) -> Dict[str, Any]:
     """Smallest N reaching the spec's target power (CRN grid search)."""
     a = assemble(parse_app_spec(doc))
     result = a.model.find_sample_size(
+        n_sims=n_sims,
+        sim_id_offset=sim_id_offset,
         target_power=a.target_power,
         target_test=a.target_test,
         correction=a.correction,
@@ -68,3 +82,60 @@ def run_find_sample_size(
         verbose=False,
     )
     return _result_payload(result, result.plots())
+
+
+def merge_run_payloads(parts: Any) -> Dict[str, Any]:
+    """Pool worker-pool part payloads into one driver payload.
+
+    ``parts`` are the payloads prior ``run_find_power``/``run_find_sample_size``
+    calls returned (or just their ``result`` trees) for DISJOINT
+    ``sim_id_offset`` ranges of the same document and seed. Counters pool
+    exactly and every rate/CI/crossing output is re-derived, then the plot
+    set and summary are regenerated from the merged tree — the main-thread
+    merge step of the reference's browser worker pool
+    (ports/wasm/src/index.ts main-thread ``merge_power_results`` →
+    engine-orchestrator/src/merge.rs:26), host-neutral here so any shell
+    (browser page, R, multiprocessing) can pool over plain JSON.
+    """
+    from ..orchestrator.merge import merge_power_results
+    from ..output.results import wrap_result
+    from .types import AppSpecError
+
+    if not isinstance(parts, list) or not parts:
+        raise AppSpecError("$.parts", "expected a non-empty list of payloads")
+    results = [
+        p["result"] if isinstance(p, dict) and "result" in p else p
+        for p in parts
+    ]
+    for i, r in enumerate(results):
+        if not isinstance(r, dict) or "result_kind" not in r:
+            raise AppSpecError(
+                f"$.parts[{i}]", "not a run payload (missing result_kind)"
+            )
+    base = results[0]
+    if "scenarios" in base:
+        labels = list(base["scenarios"].keys())
+        for i, r in enumerate(results[1:], 1):
+            if list(r.get("scenarios", {}).keys()) != labels:
+                raise AppSpecError(
+                    f"$.parts[{i}]",
+                    f"scenario labels differ from parts[0] ({labels})",
+                )
+        merged_sc = {
+            lab: merge_power_results([r["scenarios"][lab] for r in results])
+            for lab in labels
+        }
+        merged = {
+            k: v for k, v in base.items() if k not in ("scenarios", "comparison")
+        }
+        merged["scenarios"] = merged_sc
+        merged["comparison"] = {
+            "labels": labels,
+            "power_corrected_by_scenario": {
+                lab: merged_sc[lab]["powers"]["corrected"] for lab in labels
+            },
+        }
+    else:
+        merged = merge_power_results(results)
+    wrapped = wrap_result(merged, base["result_kind"])
+    return _result_payload(wrapped, wrapped.plots())

@@ -19,6 +19,12 @@ Endpoints (all JSON):
   the driver payload ``{"result", "plots", "summary"}``.
 * ``POST /api/search``  — ``{"spec": ..., "from_size"?, "to_size"?, "by"?}``
   -> the same payload shape for the sample-size search.
+* ``POST /api/merge``   — ``{"parts": [<run payloads>...]}`` -> one pooled
+  payload. Run/search additionally accept ``n_sims`` + ``sim_offset``, so a
+  pooling host (the GUI page's worker fan-out, or several serve processes
+  on different machines) runs disjoint sim-id ranges of one seed and pools
+  them exactly — the reference browser pool's split/merge protocol
+  (ports/wasm/src/index.ts, seeds.ts) over HTTP instead of postMessage.
 
 Structural errors come back as ``400 {"error": {"path", "message"}}``
 (:class:`AppSpecError` keeps its field path); engine/validation errors as
@@ -48,25 +54,36 @@ def _payload_for(body: Dict[str, Any]) -> Tuple[str, Dict[str, Any]]:
 
     if "spec" not in body:
         raise AppSpecError("$.spec", "required field missing")
+
+    def _opt_int(key: str, minimum: int = 1) -> Optional[int]:
+        v = body.get(key)
+        if v is None:
+            return None
+        if not isinstance(v, int) or isinstance(v, bool) or v < minimum:
+            raise AppSpecError(f"$.{key}", f"expected an integer >= {minimum}")
+        return v
+
+    # Worker-pool knobs (both verbs): a pooled host runs disjoint
+    # [sim_offset, sim_offset + n_sims) ranges of one seed and pools the
+    # part payloads with /api/merge.
+    n_sims = _opt_int("n_sims")
+    sim_offset = _opt_int("sim_offset", minimum=0) or 0
+
     if "sample_size" in body:
         n = body["sample_size"]
         if not isinstance(n, int) or isinstance(n, bool) or n <= 0:
             raise AppSpecError("$.sample_size", "expected a positive integer")
-        return "run", run_find_power(body["spec"], n)
-
-    def _opt_int(key: str) -> Optional[int]:
-        v = body.get(key)
-        if v is None:
-            return None
-        if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
-            raise AppSpecError(f"$.{key}", "expected a positive integer")
-        return v
+        return "run", run_find_power(
+            body["spec"], n, n_sims=n_sims, sim_id_offset=sim_offset
+        )
 
     return "search", run_find_sample_size(
         body["spec"],
         from_size=_opt_int("from_size"),
         to_size=_opt_int("to_size"),
         by=body.get("by"),
+        n_sims=n_sims,
+        sim_id_offset=sim_offset,
     )
 
 
@@ -121,7 +138,7 @@ class _Handler(BaseHTTPRequestHandler):
         return port == self.server.server_address[1]
 
     def do_POST(self):
-        if self.path not in ("/api/run", "/api/search"):
+        if self.path not in ("/api/run", "/api/search", "/api/merge"):
             self._send(404, {"error": {"message": f"no route {self.path}"}})
             return
         # A non-local page can fire cross-origin POSTs at loopback (it
@@ -141,6 +158,11 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(length))
             if not isinstance(body, dict):
                 raise AppSpecError("$", "expected a JSON object")
+            if self.path == "/api/merge":
+                from .driver import merge_run_payloads
+
+                self._send(200, merge_run_payloads(body.get("parts")))
+                return
             verb = "run" if self.path == "/api/run" else "search"
             if verb == "search" and "sample_size" in body:
                 raise AppSpecError(

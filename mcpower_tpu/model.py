@@ -876,11 +876,18 @@ class MCPower:
         test_formula: Optional[str] = None,
         n_sims: Optional[int] = None,
         seed: Optional[int] = None,
+        sim_id_offset: int = 0,
         scenarios: Union[bool, List[str]] = False,
         progress_callback: Any = None,
         verbose: bool = True,
     ) -> Dict[str, Any]:
-        """Estimate power at a single sample size."""
+        """Estimate power at a single sample size.
+
+        ``sim_id_offset`` starts the global sim-id range at an offset so a
+        worker pool can run disjoint ranges of ONE seed and pool the part
+        results exactly (``orchestrator.merge``) — the host-side analogue
+        of the reference's browser worker fan-out (ports/wasm/src/seeds.ts),
+        with a byte-stable guarantee its per-worker-seed scheme lacks."""
         self._ensure_applied()
         self._run_preflight()
         sample_size = int(sample_size)
@@ -929,7 +936,7 @@ class MCPower:
         token = CancellationToken()
         results = runner.find_power(
             lowered, n_sims=n, base_seed=base_seed, progress=progress_callback,
-            cancel=token,
+            cancel=token, sim_id_offset=int(sim_id_offset),
         )
         # Reference boundary semantics (engine-py): a cancelled run raises
         # KeyboardInterrupt at the API edge — callers opt into cancellation
@@ -959,6 +966,7 @@ class MCPower:
         mode: str = "linear",
         n_sims: Optional[int] = None,
         seed: Optional[int] = None,
+        sim_id_offset: int = 0,
         scenarios: Union[bool, List[str]] = False,
         progress_callback: Any = None,
         verbose: bool = True,
@@ -1005,6 +1013,7 @@ class MCPower:
         results = runner.find_sample_size(
             lowered, n_sims=n, base_seed=base_seed, target_power=tpow,
             atom=atom, progress=progress_callback, cancel=token,
+            sim_id_offset=int(sim_id_offset),
         )
         if token.is_cancelled():
             raise KeyboardInterrupt(

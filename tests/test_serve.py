@@ -172,3 +172,48 @@ def test_same_origin_post_accepted(server_url):
     )
     with urllib.request.urlopen(req, timeout=600) as resp:
         assert resp.status == 200
+
+
+def test_worker_pool_run_merge_exact(server_url):
+    """The GUI host's worker-pool protocol (SURVEY §3.3): disjoint
+    sim-offset parts of ONE seed pooled by /api/merge equal a one-shot run
+    exactly — counters, powers, CIs, and n_sims (stronger than the
+    reference browser pool's statistical-only equivalence, seeds.ts:6-10)."""
+    body = {"spec": _doc(), "sample_size": 200}
+    code, one = _post(server_url, "/api/run", dict(body, n_sims=120))
+    assert code == 200
+    parts = []
+    for off, cnt in ((0, 70), (70, 50)):
+        code, p = _post(
+            server_url, "/api/run", dict(body, n_sims=cnt, sim_offset=off)
+        )
+        assert code == 200
+        assert p["result"]["n_sims"] == cnt
+        parts.append(p)
+    code, merged = _post(server_url, "/api/merge", {"parts": parts})
+    assert code == 200
+    assert set(merged) == {"result", "plots", "summary"}
+    mr, or_ = merged["result"], one["result"]
+    assert mr["n_sims"] == 120
+    assert mr["success_counts_uncorrected"] == or_["success_counts_uncorrected"]
+    assert mr["success_counts_corrected"] == or_["success_counts_corrected"]
+    assert mr["powers"] == or_["powers"]
+    assert mr["convergence_rate"] == or_["convergence_rate"]
+    assert merged["summary"]  # regenerated from the merged tree
+    assert merged["plots"].keys() == one["plots"].keys()
+
+
+def test_merge_rejects_non_payload_parts(server_url):
+    code, payload = _post(server_url, "/api/merge", {"parts": [{"x": 1}]})
+    assert code == 400
+    assert "parts[0]" in payload["error"]["path"]
+    code, payload = _post(server_url, "/api/merge", {"parts": []})
+    assert code == 400
+    assert payload["error"]["path"] == "$.parts"
+
+
+def test_page_ships_worker_pool_ui(server_url):
+    with urllib.request.urlopen(server_url + "/", timeout=30) as r:
+        page = r.read().decode()
+    assert 'id="workers"' in page
+    assert "splitSims" in page and "/api/merge" in page
