@@ -149,18 +149,27 @@ def run():
 
     results = {}
     for name, kw in _cases():
-        spec, arrays = lower.lower(**kw)
-        arrays = jax.device_put(arrays)
-        batch.run_batch(spec, arrays, N_SIMS, 1, chunk_size=N_SIMS)  # warmup
-        times = []
-        for r in range(REPEATS):
-            t0 = time.perf_counter()
-            batch.run_batch(spec, arrays, N_SIMS, 2137 + r, chunk_size=N_SIMS)
-            times.append(time.perf_counter() - t0)
-        med = statistics.median(times)
-        fits = N_SIMS * len(spec.grid)
-        results[name] = round(fits / med, 1)
-        print(f"{name:16s} {results[name]:>12,.0f} fits/sec  ({med*1e3:.1f} ms)")
+        # Per-arm isolation: one arm failing to compile (a tunnel outage,
+        # a compile-helper OOM — both observed round 3) must not lose the
+        # other arms' numbers; the failure is reported and the exit code
+        # still signals it.
+        try:
+            spec, arrays = lower.lower(**kw)
+            arrays = jax.device_put(arrays)
+            batch.run_batch(spec, arrays, N_SIMS, 1, chunk_size=N_SIMS)  # warmup
+            times = []
+            for r in range(REPEATS):
+                t0 = time.perf_counter()
+                batch.run_batch(spec, arrays, N_SIMS, 2137 + r, chunk_size=N_SIMS)
+                times.append(time.perf_counter() - t0)
+            med = statistics.median(times)
+            fits = N_SIMS * len(spec.grid)
+            results[name] = round(fits / med, 1)
+            print(f"{name:16s} {results[name]:>12,.0f} fits/sec  ({med*1e3:.1f} ms)")
+        except Exception as e:  # noqa: BLE001 — keep the grid running
+            results[name] = None
+            msg = str(e).splitlines()[0][:120]
+            print(f"{name:16s}       FAILED  ({type(e).__name__}: {msg})")
     return results
 
 
@@ -169,25 +178,31 @@ def main():
     ap.add_argument("--save-baseline", action="store_true")
     args = ap.parse_args()
     results = run()
+    failed = [n for n, v in results.items() if v is None]
+    ok = {n: v for n, v in results.items() if v is not None}
     if args.save_baseline:
+        if failed:
+            sys.exit(f"refusing to freeze a baseline with failed arms: {failed}")
         with open(BASELINE_PATH, "w") as f:
-            json.dump(results, f, indent=1, sort_keys=True)
+            json.dump(ok, f, indent=1, sort_keys=True)
         print(f"baseline saved to {BASELINE_PATH}")
         return
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             baseline = json.load(f)
         worst = None
-        for name, fps in results.items():
+        for name, fps in ok.items():
             if name in baseline and baseline[name] > 0:
                 ratio = fps / baseline[name]
                 flag = "  <-- REGRESSION" if ratio < 0.9 else ""
                 print(f"{name:16s} vs baseline: {ratio:6.2f}x{flag}")
                 worst = min(worst or ratio, ratio)
-        if worst is not None and worst < 0.9:
+        if failed or (worst is not None and worst < 0.9):
             sys.exit(1)
     else:
         print("(no baseline; run with --save-baseline to freeze)")
+        if failed:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

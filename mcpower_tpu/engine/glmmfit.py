@@ -214,14 +214,15 @@ def _extras_glmm_grid_stats(
                 w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
                 z = eta + (yf - mu) / dmu
                 wZ = Z * w[:, None]
+                # M x M capacitance: vectorized-row Cholesky twins (the
+                # scalar unroll's program size at M ~ 30 OOMs the TPU
+                # compile helper — see smallchol.chol_vec)
                 C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
-                cholC = smallchol.chol(C)
+                cholC = smallchol.chol_vec(C)
                 At = Lam.T @ (wZ.T @ Xf)  # (M, p)
                 bt = Lam.T @ (wZ.T @ z)  # (M,)
-                sol_b = smallchol.cho_solve(cholC, bt)
-                sol_A = jax.vmap(
-                    lambda col: smallchol.cho_solve(cholC, col)
-                )(At.T).T
+                sol_b = smallchol.cho_solve_vec(cholC, bt)
+                sol_A = smallchol.cho_solve_mat_vec(cholC, At)
                 a_xx = smallchol.crossprod(Xf, w) - At.T @ sol_A + eye_p
                 a_xy = smallchol.colsum(Xf, w * z) - At.T @ sol_b
                 cholP = smallchol.chol(a_xx)
@@ -245,7 +246,7 @@ def _extras_glmm_grid_stats(
             w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
             wZ = Z * w[:, None]
             C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
-            cholC = smallchol.chol(C)
+            cholC = smallchol.chol_vec(C)
             lap = (
                 _deviance(spec.outcome, yf, mu, mask)
                 + jnp.sum(v * v)
@@ -254,9 +255,7 @@ def _extras_glmm_grid_stats(
             if not want_schur:
                 return beta, v, lap, None
             At = Lam.T @ (wZ.T @ Xf)
-            sol_A = jax.vmap(
-                lambda col: smallchol.cho_solve(cholC, col)
-            )(At.T).T
+            sol_A = smallchol.cho_solve_mat_vec(cholC, At)
             a_xx = smallchol.crossprod(Xf, w) - At.T @ sol_A + eye_p
             return beta, v, lap, a_xx
 
@@ -305,7 +304,7 @@ def _extras_glmm_grid_stats(
                     wZ = Z * w[:, None]
                     C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
                     rhs = Lam.T @ (wZ.T @ (z - fixed))
-                    v_new = smallchol.cho_solve(smallchol.chol(C), rhs)
+                    v_new = smallchol.cho_solve_vec(smallchol.chol_vec(C), rhs)
                     ok = jnp.all(jnp.isfinite(v_new))
                     return jnp.where(ok, v_new, v_q)
 
@@ -318,7 +317,7 @@ def _extras_glmm_grid_stats(
                 return (
                     _deviance(spec.outcome, yf, mu, mask)
                     + jnp.sum(v_q * v_q)
-                    + smallchol.logdet_from_chol(smallchol.chol(C))
+                    + smallchol.logdet_from_chol(smallchol.chol_vec(C))
                 )
 
             cov = _fd_hessian_cov(dev_beta, beta, cov)

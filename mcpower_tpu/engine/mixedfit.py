@@ -540,14 +540,18 @@ def _joint_suffstats(spec: SimSpec, Xf, yf, Z):
 
 
 def _reml_quantities_joint(Lam, ztz, ztx, zty, xtx, xty, yty, n, p):
-    """Profile-REML pieces with the joint capacitance matrix at one cell."""
+    """Profile-REML pieces with the joint capacitance matrix at one cell.
+
+    The M x M capacitance (M ~ sum m_g q_g ~ 30) uses the vectorized-row
+    Cholesky twins: the scalar unroll's O(M^3/6) lanes blew this arm's
+    program to 6.2 MB StableHLO (TPU compile-helper OOM, round 3)."""
     M = Lam.shape[0]
     C = jnp.eye(M, dtype=Lam.dtype) + Lam.T @ ztz @ Lam
-    cholC = smallchol.chol(C)
+    cholC = smallchol.chol_vec(C)
     At = Lam.T @ ztx  # (M, p)
     bt = Lam.T @ zty  # (M,)
-    sol_b = smallchol.cho_solve(cholC, bt)
-    sol_A = jax.vmap(lambda col: smallchol.cho_solve(cholC, col))(At.T).T
+    sol_b = smallchol.cho_solve_vec(cholC, bt)
+    sol_A = smallchol.cho_solve_mat_vec(cholC, At)
     a_xx = xtx - At.T @ sol_A
     a_xy = xty - At.T @ sol_b
     a_yy = yty - bt @ sol_b

@@ -98,6 +98,82 @@ def cho_solve(L, b):
     return solve_upper_t(L, solve_lower(L, b))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized-row unroll twins for MID-SIZE matrices (p ~ 10-64): the joint-Z
+# capacitance path (mixedfit/glmmfit extras) factors M x M systems with
+# M = sum_g m_g q_g ~ 30. The scalar unroll above emits O(p^3/6) scalar-lane
+# ops — 763 KB of StableHLO at p = 30 per instance, which blew one arm's
+# program past the TPU compile helper's memory (observed round 3: 6.2 MB
+# StableHLO, remote-compile SIGKILL). These twins do the SAME factorization
+# with O(p) stacked matvec steps (program size O(p), ~60x smaller at p = 30),
+# trading ~3x redundant FLOPs on zero-padded lanes — irrelevant beside the
+# compile-size cliff. Summation ORDER differs from the scalar unroll
+# (stacked dot vs sequential subtract), so results agree only to rounding;
+# the golden-pinned tiny-p hot paths therefore keep the scalar forms, and
+# only the joint-Z paths (whose parity tests are tolerance-based) use these.
+# ---------------------------------------------------------------------------
+
+
+def chol_vec(A):
+    """Lower Cholesky of (..., p, p), one stacked matvec per column."""
+    p = A.shape[-1]
+    if p > MAX_UNROLL_P * 4:
+        return jnp.linalg.cholesky(A)
+    L = jnp.zeros_like(A)
+    idx = jnp.arange(p)
+    for j in range(p):
+        a_j = A[..., :, j]
+        # columns >= j of L are still zero, so the full matvec sums only
+        # the computed columns — no slicing, one dot_general per step
+        rowj = L[..., j, :]
+        s = a_j - jnp.einsum("...ik,...k->...i", L, rowj)
+        d = jnp.sqrt(s[..., j])
+        colj = jnp.where(idx >= j, s / d[..., None], jnp.zeros_like(s))
+        L = L.at[..., :, j].set(colj)
+    return L
+
+
+def solve_lower_vec(L, b):
+    """Forward substitution, one stacked dot per row."""
+    p = L.shape[-1]
+    y = jnp.zeros_like(b)
+    for i in range(p):
+        s = b[..., i] - jnp.einsum("...k,...k->...", L[..., i, :], y)
+        y = y.at[..., i].set(s / L[..., i, i])
+    return y
+
+
+def solve_upper_t_vec(L, y):
+    """Back substitution with the lower factor, stacked dots."""
+    p = L.shape[-1]
+    x = jnp.zeros_like(y)
+    for i in reversed(range(p)):
+        s = y[..., i] - jnp.einsum("...k,...k->...", L[..., :, i], x)
+        x = x.at[..., i].set(s / L[..., i, i])
+    return x
+
+
+def cho_solve_vec(L, b):
+    """Solve A x = b given A = L L^T (vectorized-row twins)."""
+    return solve_upper_t_vec(L, solve_lower_vec(L, b))
+
+
+def cho_solve_mat_vec(L, B):
+    """Solve A X = B for (..., p, r) right-hand sides in one pass: the
+    substitutions above work unchanged on matrix RHS when the dots contract
+    the leading solve axis."""
+    p = L.shape[-1]
+    Y = jnp.zeros_like(B)
+    for i in range(p):
+        s = B[..., i, :] - jnp.einsum("...k,...kr->...r", L[..., i, :], Y)
+        Y = Y.at[..., i, :].set(s / L[..., i, i][..., None])
+    X = jnp.zeros_like(B)
+    for i in reversed(range(p)):
+        s = Y[..., i, :] - jnp.einsum("...k,...kr->...r", L[..., :, i], X)
+        X = X.at[..., i, :].set(s / L[..., i, i][..., None])
+    return X
+
+
 def cho_inverse(L):
     """Full inverse of A = L L^T: p unrolled solves against identity."""
     p = L.shape[-1]
