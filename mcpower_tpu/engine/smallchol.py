@@ -24,6 +24,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 MAX_UNROLL_P = 32
+# Scalar unroll emits O(p^3/6) ops — past this width the program-size cost
+# (763 KB StableHLO at p = 30; OOMs the TPU compile helper when repeated)
+# outweighs the perfect fusion, so chol/solves route to the vectorized-row
+# twins below. Everything the golden tests pin sits well under this.
+VEC_FROM_P = 13
 
 
 def chol(A):
@@ -33,8 +38,8 @@ def chol(A):
     detect failure through finiteness checks).
     """
     p = A.shape[-1]
-    if p > MAX_UNROLL_P:
-        return jnp.linalg.cholesky(A)
+    if p >= VEC_FROM_P:
+        return chol_vec(A)
     L = [[None] * p for _ in range(p)]
     for j in range(p):
         d = A[..., j, j]
@@ -60,12 +65,8 @@ def chol(A):
 def solve_lower(L, b):
     """Solve L y = b (forward substitution), b (..., p)."""
     p = L.shape[-1]
-    if p > MAX_UNROLL_P:
-        import jax
-
-        return jax.lax.linalg.triangular_solve(
-            L, b[..., None], left_side=True, lower=True
-        )[..., 0]
+    if p >= VEC_FROM_P:
+        return solve_lower_vec(L, b)
     y = [None] * p
     for i in range(p):
         s = b[..., i]
@@ -78,12 +79,8 @@ def solve_lower(L, b):
 def solve_upper_t(L, y):
     """Solve L^T x = y (back substitution with the lower factor)."""
     p = L.shape[-1]
-    if p > MAX_UNROLL_P:
-        import jax
-
-        return jax.lax.linalg.triangular_solve(
-            L, y[..., None], left_side=True, lower=True, transpose_a=True
-        )[..., 0]
+    if p >= VEC_FROM_P:
+        return solve_upper_t_vec(L, y)
     x = [None] * p
     for i in reversed(range(p)):
         s = y[..., i]
@@ -136,6 +133,12 @@ def chol_vec(A):
 def solve_lower_vec(L, b):
     """Forward substitution, one stacked dot per row."""
     p = L.shape[-1]
+    if p > MAX_UNROLL_P * 4:
+        import jax
+
+        return jax.lax.linalg.triangular_solve(
+            L, b[..., None], left_side=True, lower=True
+        )[..., 0]
     y = jnp.zeros_like(b)
     for i in range(p):
         s = b[..., i] - jnp.einsum("...k,...k->...", L[..., i, :], y)
@@ -146,6 +149,12 @@ def solve_lower_vec(L, b):
 def solve_upper_t_vec(L, y):
     """Back substitution with the lower factor, stacked dots."""
     p = L.shape[-1]
+    if p > MAX_UNROLL_P * 4:
+        import jax
+
+        return jax.lax.linalg.triangular_solve(
+            L, y[..., None], left_side=True, lower=True, transpose_a=True
+        )[..., 0]
     x = jnp.zeros_like(y)
     for i in reversed(range(p)):
         s = y[..., i] - jnp.einsum("...k,...k->...", L[..., :, i], x)

@@ -84,3 +84,19 @@ def test_chol_vec_failure_is_detectable():
     A = jnp.asarray(-np.eye(10))
     L = smallchol.chol_vec(A)
     assert not bool(smallchol.chol_ok(L))
+
+
+def test_wide_p_autoroutes_to_vec_and_stays_correct():
+    """chol/cho_solve at p >= VEC_FROM_P route to the vectorized form (the
+    scalar unroll's O(p^3) program size is the compile-size cliff a wide
+    user design would otherwise hit) and still match NumPy."""
+    rng = np.random.default_rng(17)
+    p = smallchol.VEC_FROM_P + 3
+    A = _spd(rng, p)
+    b = rng.standard_normal(p)
+    L = smallchol.chol(jnp.asarray(A))
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(A), rtol=1e-10, atol=1e-10
+    )
+    x = np.asarray(smallchol.cho_solve(L, jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-9, atol=1e-10)
