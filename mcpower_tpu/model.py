@@ -1088,6 +1088,8 @@ class MCPower:
         # proportion vectors produce row-identical dummies and a singular
         # design. Surface the cause up front; the rank check fails every fit.
         seen: Dict[tuple, str] = {}
+        identical_pairs: set = set()
+        fixed_names: List[str] = []
         for name in self._registry.factor_names:
             if self._registry.var_info(name).get("sampled_proportions"):
                 continue  # per-factor override: independently sampled per row
@@ -1095,8 +1097,10 @@ class MCPower:
                 # uploaded factors generate from the pilot frame
                 # (factor_from_frame), not the shared Hamilton walk
                 continue
+            fixed_names.append(name)
             key = tuple(round(p, 12) for p in self._registry.factor_proportions(name))
             if key in seen:
+                identical_pairs.add((seen[key], name))
                 msg = (
                     f"factors {seen[key]!r} and {name!r} have identical "
                     "proportions under deterministic (fixed) allocation — "
@@ -1110,6 +1114,48 @@ class MCPower:
                 _warnings.warn(msg, UserWarning, stacklevel=3)
             else:
                 seen[key] = name
+        # General exact check: the fixed walk is a pure function of
+        # (proportions, row), so the dummy columns two factors will produce
+        # are KNOWN before any simulation — build them for the largest N and
+        # rank-test each pair. This catches partial structural confounding
+        # the identical-proportions rule misses: e.g. uniform 6- and 4-level
+        # walks are both round-robins, so 'level parity' is the same column
+        # in both dummy blocks and every fit is exactly singular (the
+        # reference shares this generation rule, data_gen.rs:943, and fails
+        # the same way at runtime — here the cause is named up front).
+        if len(fixed_names) >= 2:
+            from .engine.datagen import fixed_allocation_codes
+
+            n_chk = int(grid_ns[-1]) if grid_ns else int(n_min)
+            dummies: Dict[str, np.ndarray] = {}
+            for name in fixed_names:
+                codes = fixed_allocation_codes(
+                    self._registry.factor_proportions(name), n_chk
+                )
+                k = len(self._registry.factor_proportions(name))
+                dummies[name] = (
+                    codes[:, None] == np.arange(1, k)[None, :]
+                ).astype(np.float64)
+            ones = np.ones((n_chk, 1))
+            for i, a in enumerate(fixed_names):
+                for b in fixed_names[i + 1:]:
+                    if (a, b) in identical_pairs:
+                        continue  # already reported with the sharper message
+                    X = np.column_stack([ones, dummies[a], dummies[b]])
+                    if np.linalg.matrix_rank(X) < X.shape[1]:
+                        msg = (
+                            f"factors {a!r} and {b!r} are structurally "
+                            "confounded under deterministic (fixed) "
+                            "allocation: their level sequences share an "
+                            f"exact linear dependence at N={n_chk} (their "
+                            "walks are both periodic row patterns), so every "
+                            "fit will be rank-deficient. Give the factors "
+                            "co-prime level structures or different "
+                            "proportions, or run a scenario with sampled "
+                            "factor proportions (e.g. scenarios=True)."
+                        )
+                        out.append(msg)
+                        _warnings.warn(msg, UserWarning, stacklevel=3)
         return out
 
     def _upload_reuse_warning(self, n_target: int) -> Optional[str]:
@@ -1244,6 +1290,12 @@ class MCPower:
                 f"(> max_failed_simulations={self.max_failed_simulations}); "
                 "the design is likely unstable at this N"
             )
+            # When the preflight already named the structural cause, repeat
+            # it here — the generic message would send the user hunting.
+            for w in res.get("warnings", []):
+                if "confounded" in w:
+                    msg += f". Known cause: {w}"
+                    break
             # Mixed-model boundary breakdown at the worst N (reference
             # output/results.py _check_failure_threshold message).
             tz = res.get("boundary_hit_rate_tau_zero") or []

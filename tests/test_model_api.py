@@ -458,6 +458,37 @@ def test_confounded_fixed_factors_fail_loud():
     assert any("confounded" in str(x.message) for x in w)
 
 
+def test_partially_confounded_fixed_factors_named_up_front():
+    """Uniform 6- and 4-level fixed walks are both round-robins, so 'level
+    parity' is the same exact column in both dummy blocks — NOT caught by
+    the identical-proportions rule, but caught by the preflight's exact
+    rank check on the deterministic dummy design. The failure error repeats
+    the named cause instead of the generic 'design is likely unstable'."""
+    import warnings as _w
+
+    m = MCPower("y ~ g1 + g2 + x1")
+    m.set_variable_type("g1=(factor,6)")
+    m.set_variable_type("g2=(factor,4)")
+    m.set_effects("g1[2]=0.3, x1=0.3").set_simulations(20).set_seed(3)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        with pytest.raises(RuntimeError, match="Known cause.*confounded"):
+            m.find_power(sample_size=400, verbose=False)
+    assert any("structurally confounded" in str(x.message) for x in w)
+
+
+def test_coprime_fixed_factors_not_flagged():
+    """gcd(levels) = 1 walks share no periodic column: the 5x4 uniform pair
+    passes the exact rank check and fits cleanly."""
+    m = MCPower("y ~ g1 + g2 + x1")
+    m.set_variable_type("g1=(factor,5)")
+    m.set_variable_type("g2=(factor,4)")
+    m.set_effects("g1[2]=0.3, x1=0.3").set_simulations(30).set_seed(3)
+    res = m.find_power(sample_size=400, verbose=False)
+    assert res["convergence_rate"] == [1.0]
+    assert not any("confounded" in w for w in res["warnings"])
+
+
 def test_crossed_factor_interaction_power_runs():
     """A 2×3 factor interaction (distinct proportions → crossed cells under
     fixed allocation) fits cleanly and detects a large interaction effect."""
