@@ -113,6 +113,13 @@ def merge_run_payloads(parts: Any) -> Dict[str, Any]:
                 f"$.parts[{i}]", "not a run payload (missing result_kind)"
             )
     base = results[0]
+    for i, r in enumerate(results[1:], 1):
+        if r["result_kind"] != base["result_kind"]:
+            raise AppSpecError(
+                f"$.parts[{i}]",
+                f"result_kind {r['result_kind']!r} differs from parts[0] "
+                f"({base['result_kind']!r}) — run and search parts cannot pool",
+            )
     if "scenarios" in base:
         labels = list(base["scenarios"].keys())
         for i, r in enumerate(results[1:], 1):

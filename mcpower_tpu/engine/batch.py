@@ -301,6 +301,14 @@ def run_batch(
     slo, shi = jnp.uint32(seed_lo), jnp.uint32(seed_hi)
 
     chunk = int(chunk_size) if chunk_size else max(min(n_sims, 4096), 1)
+    # Joint-Z (extra-grouping) programs fault the TPU worker at 4096-lane
+    # dispatches (observed on v5e: the NM-over-capacitance program is fine
+    # at <= 1024 lanes, kills the worker at 4096 — a runtime resource
+    # limit, not a numeric issue). Chunking is results-invisible
+    # (test_chunking_is_invisible), so cap the dispatch width for these
+    # specs; everything else keeps the wide fast path.
+    if spec.cluster is not None and spec.cluster.extra_groupings:
+        chunk = min(chunk, 1024)
     totals: Dict[str, np.ndarray] = {}
 
     def _fold(out):

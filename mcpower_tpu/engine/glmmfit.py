@@ -263,21 +263,76 @@ def _extras_glmm_grid_stats(
         # every candidate evaluation starts PIRLS from the mode ACCEPTED by
         # the previous Nelder-Mead iteration; after the full-budget phase
         # the contracted simplex makes the carry a genuine warm start and
-        # the short-budget phase re-converges it.
+        # the short-budget phase re-converges it. As on the slope path the
+        # SEARCH iteration state runs in f32 — the M x M capacitance chain
+        # is emulated-f64-bound on TPU otherwise (the all-f64 LMM twin of
+        # this search measured 43.7 fits/s, round 3) — while the deviance
+        # consumed by the NM comparisons is recomputed in f64 from each
+        # candidate's final mode.
+        f32 = jnp.float32
+        Xf32, yf32, Z32 = Xf.astype(f32), yf.astype(f32), Z.astype(f32)
+        mask32 = mask.astype(f32)
+        eye_M32 = jnp.eye(M, dtype=f32)
+        eye_p32 = 1e-6 * jnp.eye(pf, dtype=f32)
+
+        def pirls_loop32(Lam32, beta, v, iters):
+            def body(_, carry):
+                beta, v = carry
+                eta = smallchol.rowmv(Xf32, beta) + Z32 @ (Lam32 @ v)
+                mu, var, dmu = mu_var_dmu(eta)
+                w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask32
+                z = eta + (yf32 - mu) / dmu
+                wZ = Z32 * w[:, None]
+                C = eye_M32 + Lam32.T @ (Z32.T @ wZ) @ Lam32
+                cholC = smallchol.chol_vec(C)
+                At = Lam32.T @ (wZ.T @ Xf32)
+                bt = Lam32.T @ (wZ.T @ z)
+                sol_b = smallchol.cho_solve_vec(cholC, bt)
+                sol_A = smallchol.cho_solve_mat_vec(cholC, At)
+                a_xx = smallchol.crossprod(Xf32, w) - At.T @ sol_A + eye_p32
+                a_xy = smallchol.colsum(Xf32, w * z) - At.T @ sol_b
+                cholP = smallchol.chol(a_xx)
+                beta_new = smallchol.cho_solve(cholP, a_xy)
+                v_new = sol_b - sol_A @ beta_new
+                ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
+                    jnp.isfinite(v_new)
+                )
+                return (
+                    jnp.where(ok, beta_new, beta),
+                    jnp.where(ok, v_new, v),
+                )
+
+            return jax.lax.fori_loop(0, iters, body, (beta, v))
+
+        def dev64_at(Lam, beta64, v64):
+            eta = smallchol.rowmv(Xf, beta64) + Z @ (Lam @ v64)
+            mu, var, dmu = mu_var_dmu(eta)
+            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
+            wZ = Z * w[:, None]
+            C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
+            return (
+                _deviance(spec.outcome, yf, mu, mask)
+                + jnp.sum(v64 * v64)
+                + smallchol.logdet_from_chol(smallchol.chol_vec(C))
+            )
+
         def search_eval(theta, carry, iters):
             Lam = _lam_all(theta, plan, sizes, M)
-            beta, v, lap, _ = pirls(
-                Lam, carry[0], carry[1], iters, want_schur=False
+            beta32, v32 = pirls_loop32(
+                Lam.astype(f32), carry[0], carry[1], iters
+            )
+            lap = dev64_at(
+                Lam, beta32.astype(jnp.float64), v32.astype(jnp.float64)
             )
             return (
                 jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
-                (beta, v),
+                (beta32, v32),
             )
 
         theta_hat, _, _ = optim.nelder_mead_carry(
             search_eval,
             theta0,
-            (beta0, v0),
+            (beta0.astype(f32), v0.astype(f32)),
             phases=(
                 (NM_FULL_SLOPE, N_PIRLS_SLOPE),
                 (NM_ITERS_GLMM - NM_FULL_SLOPE, N_PIRLS_SLOPE_WARM),

@@ -590,8 +590,30 @@ def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
             )
             return jnp.where(jnp.isfinite(dev), dev, jnp.float64(1e30))
 
+        # Mixed-precision theta search (the engine's established pattern,
+        # cf. the GLMM f32 PIRLS twins): the NM evaluations are pure dense
+        # M x M algebra in f64, which v5e EMULATES — measured 43.7 fits/s
+        # with the all-f64 140-iter search (round 3). A coarse f32 NM
+        # locates the optimum (f32 suff-stat twins, same deviance algebra),
+        # then a SHORT warm-started f64 polish restores full precision at
+        # ~5x fewer f64 evaluations. The f64 polish makes the final theta
+        # insensitive to f32 rounding (parity suites unchanged, CPU + TPU).
+        f32 = jnp.float32
+        ss32 = tuple(a.astype(f32) for a in (ztz, ztx, zty, xtx, xty, yty))
+        n32 = n.astype(f32)
+
+        def dev_at32(theta):
+            Lam = _lam_all(theta.astype(f32), plan, sizes, M)
+            dev, *_ = _reml_quantities_joint(Lam, *ss32, n32, pf)
+            return jnp.where(jnp.isfinite(dev), dev, f32(1e30)).astype(
+                jnp.float64
+            )
+
+        theta_coarse, _ = optim.nelder_mead(
+            dev_at32, theta0, iters=110, init_step=0.3, lower=lower
+        )
         theta_hat, _ = optim.nelder_mead(
-            dev_at, theta0, iters=140, init_step=0.3, lower=lower
+            dev_at, theta_coarse, iters=26, init_step=0.02, lower=lower
         )
         Lam = _lam_all(theta_hat, plan, sizes, M)
         dev, beta, chol, sigma2 = _reml_quantities_joint(

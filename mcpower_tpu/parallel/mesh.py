@@ -161,6 +161,11 @@ def run_batch_sharded(
     fn = _sharded_fn(spec, mesh_key)
 
     chunk = int(chunk_size) if chunk_size else max(min(n_sims, 4096), 1)
+    # Joint-Z (extra-grouping) programs fault the TPU worker above ~1024
+    # lanes per device (see engine.batch.run_batch) — cap the PER-DEVICE
+    # width; chunking stays results-invisible.
+    if spec.cluster is not None and spec.cluster.extra_groupings:
+        chunk = min(chunk, 1024 * nd)
     # Pad the chunk length to a device multiple once; all dispatches reuse it.
     chunk_padded = -(-chunk // nd) * nd
     lanes = jnp.arange(chunk_padded, dtype=jnp.uint32)
