@@ -275,7 +275,11 @@ def _extras_glmm_grid_stats(
         eye_M32 = jnp.eye(M, dtype=f32)
         eye_p32 = 1e-6 * jnp.eye(pf, dtype=f32)
 
-        def pirls_loop32(Lam32, beta, v, iters):
+        def pirls_loop32(Lam32, beta, v, iters, scalar_forms=True):
+            # scalar-lane kernels in the search body (traced once — the
+            # fast zero-padding form; see _reml_quantities_joint's form
+            # note in mixedfit); the simplex-init twin passes
+            # scalar_forms=False so the program holds ONE scalar instance.
             def body(_, carry):
                 beta, v = carry
                 eta = smallchol.rowmv(Xf32, beta) + Z32 @ (Lam32 @ v)
@@ -284,11 +288,22 @@ def _extras_glmm_grid_stats(
                 z = eta + (yf32 - mu) / dmu
                 wZ = Z32 * w[:, None]
                 C = eye_M32 + Lam32.T @ (Z32.T @ wZ) @ Lam32
-                cholC = smallchol.chol_vec(C)
                 At = Lam32.T @ (wZ.T @ Xf32)
                 bt = Lam32.T @ (wZ.T @ z)
-                sol_b = smallchol.cho_solve_vec(cholC, bt)
-                sol_A = smallchol.cho_solve_mat_vec(cholC, At)
+                if scalar_forms:
+                    cholC = smallchol.chol_scalar(C)
+                    sol_b = smallchol.cho_solve_scalar(cholC, bt)
+                    sol_A = jnp.stack(
+                        [
+                            smallchol.cho_solve_scalar(cholC, At[..., j])
+                            for j in range(At.shape[-1])
+                        ],
+                        axis=-1,
+                    )
+                else:
+                    cholC = smallchol.chol_vec(C)
+                    sol_b = smallchol.cho_solve_vec(cholC, bt)
+                    sol_A = smallchol.cho_solve_mat_vec(cholC, At)
                 a_xx = smallchol.crossprod(Xf32, w) - At.T @ sol_A + eye_p32
                 a_xy = smallchol.colsum(Xf32, w * z) - At.T @ sol_b
                 cholP = smallchol.chol(a_xx)
@@ -316,21 +331,29 @@ def _extras_glmm_grid_stats(
                 + smallchol.logdet_from_chol(smallchol.chol_vec(C))
             )
 
-        def search_eval(theta, carry, iters):
-            Lam = _lam_all(theta, plan, sizes, M)
-            beta32, v32 = pirls_loop32(
-                Lam.astype(f32), carry[0], carry[1], iters
-            )
-            lap = dev64_at(
-                Lam, beta32.astype(jnp.float64), v32.astype(jnp.float64)
-            )
-            return (
-                jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
-                (beta32, v32),
-            )
+        def make_search_eval(scalar_forms):
+            def search_eval(theta, carry, iters):
+                Lam = _lam_all(theta, plan, sizes, M)
+                beta32, v32 = pirls_loop32(
+                    Lam.astype(f32), carry[0], carry[1], iters,
+                    scalar_forms=scalar_forms,
+                )
+                lap = dev64_at(
+                    Lam, beta32.astype(jnp.float64), v32.astype(jnp.float64)
+                )
+                return (
+                    jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
+                    (beta32, v32),
+                )
 
+            return search_eval
+
+        # Vectorized-row kernels at every site (the measured scalar-lane
+        # twin compiled for >45 min on both backends — reverted; see the
+        # mixedfit note). dynamic_budget keeps ONE traced body across the
+        # two budget phases, halving even the vec-form body count.
         theta_hat, _, _ = optim.nelder_mead_carry(
-            search_eval,
+            make_search_eval(False),
             theta0,
             (beta0.astype(f32), v0.astype(f32)),
             phases=(
@@ -339,6 +362,7 @@ def _extras_glmm_grid_stats(
             ),
             init_step=0.2,
             lower=lower,
+            dynamic_budget=True,
         )
         Lam = _lam_all(theta_hat, plan, sizes, M)
         beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)

@@ -58,11 +58,18 @@ def _select_candidate(f_best, second, f_worst, fr, fe, fc_out, fc_in):
     )
 
 
-def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
+def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None,
+                f_init=None):
     """Minimize f: (d,) -> scalar from x0. Returns (x_best, f_best).
 
     ``lower``: optional (d,) elementwise lower bounds enforced by clipping
     every candidate (used for non-negative chol diagonals).
+
+    ``f_init``: optional objective used ONLY for the initial simplex
+    evaluation. When ``f`` is built from program-size-heavy kernels (the
+    joint-Z scalar-lane forms), passing a numerically-equivalent small-form
+    twin here keeps the compiled program to ONE heavy instance — the loop
+    body — instead of two (init + body).
     """
     d = x0.shape[-1]
     dtype = x0.dtype
@@ -75,7 +82,7 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
         [x0[None, :], x0[None, :] + init_step * jnp.eye(d, dtype=dtype)], axis=0
     )
     verts = clip(verts)
-    fvals = jax.vmap(f)(verts)
+    fvals = jax.vmap(f_init if f_init is not None else f)(verts)
 
     alpha, gamma, rho = 1.0, 2.0, 0.5
 
@@ -110,7 +117,8 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
     return verts[i_best], fvals[i_best]
 
 
-def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None):
+def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None,
+                      f_init=None, dynamic_budget=False):
     """Nelder-Mead with a warm-start aux thread and phased eval budgets.
 
     For objectives whose evaluation is itself an iterative solver (the
@@ -143,7 +151,8 @@ def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None):
         [x0[None, :], x0[None, :] + init_step * jnp.eye(d, dtype=dtype)], axis=0
     )
     verts = clip(verts)
-    fvals, auxs = jax.vmap(lambda x: f(x, aux0, first_budget))(verts)
+    fi = f_init if f_init is not None else f
+    fvals, auxs = jax.vmap(lambda x: fi(x, aux0, first_budget))(verts)
     aux = jax.tree_util.tree_map(
         lambda a: a[jnp.argmin(fvals)], auxs
     )  # best vertex's solver state seeds the carry
@@ -151,7 +160,8 @@ def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None):
     alpha, gamma, rho = 1.0, 2.0, 0.5
 
     def make_body(budget):
-        def body(_, carry):
+        def body(i, carry):
+            del i
             verts, fvals, aux = carry
             order = jnp.argsort(fvals)
             verts = verts[order]
@@ -183,8 +193,27 @@ def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None):
         return body
 
     carry = (verts, fvals, aux)
-    for n_iters, budget in phases:
-        carry = jax.lax.fori_loop(0, n_iters, make_body(budget), carry)
+    if dynamic_budget:
+        # ONE traced NM body for all phases: the solver budget becomes a
+        # TRACED scalar selected by iteration index, so program-size-heavy
+        # objectives (the joint-Z scalar-lane forms, ~2 MB StableHLO per
+        # instance) appear exactly once in the compiled program instead of
+        # once per phase. f's inner loop must accept a traced bound
+        # (lax.fori_loop lowers it to a while).
+        bounds = jnp.asarray(
+            [sum(n for n, _ in phases[: k + 1]) for k in range(len(phases))]
+        )
+        budgets = jnp.asarray([b for _, b in phases])
+        total = int(sum(n for n, _ in phases))
+
+        def body(i, carry):
+            budget = budgets[jnp.searchsorted(bounds, i, side="right")]
+            return make_body(budget)(i, carry)
+
+        carry = jax.lax.fori_loop(0, total, body, carry)
+    else:
+        for n_iters, budget in phases:
+            carry = jax.lax.fori_loop(0, n_iters, make_body(budget), carry)
     verts, fvals, aux = carry
     i_best = jnp.argmin(fvals)
     return verts[i_best], fvals[i_best], aux

@@ -40,6 +40,18 @@ def chol(A):
     p = A.shape[-1]
     if p >= VEC_FROM_P:
         return chol_vec(A)
+    return chol_scalar(A)
+
+
+def chol_scalar(A):
+    """The raw scalar-lane unroll, no width dispatch: O(p^3/6) elementwise
+    ops over the batch — ZERO layout padding on TPU (each op is a full
+    (batch,)-lane VPU op), the fastest form per FLOP but O(p^3) program
+    size. Call directly (instead of chol) when a wide factorization sits
+    inside a loop body that is traced exactly ONCE (the joint-Z search
+    body), where the single instance keeps the program compilable and the
+    per-eval speed dominates the run."""
+    p = A.shape[-1]
     L = [[None] * p for _ in range(p)]
     for j in range(p):
         d = A[..., j, j]
@@ -67,6 +79,12 @@ def solve_lower(L, b):
     p = L.shape[-1]
     if p >= VEC_FROM_P:
         return solve_lower_vec(L, b)
+    return solve_lower_scalar(L, b)
+
+
+def solve_lower_scalar(L, b):
+    """Raw scalar-lane forward substitution (see chol_scalar)."""
+    p = L.shape[-1]
     y = [None] * p
     for i in range(p):
         s = b[..., i]
@@ -81,6 +99,12 @@ def solve_upper_t(L, y):
     p = L.shape[-1]
     if p >= VEC_FROM_P:
         return solve_upper_t_vec(L, y)
+    return solve_upper_t_scalar(L, y)
+
+
+def solve_upper_t_scalar(L, y):
+    """Raw scalar-lane back substitution (see chol_scalar)."""
+    p = L.shape[-1]
     x = [None] * p
     for i in reversed(range(p)):
         s = y[..., i]
@@ -93,6 +117,11 @@ def solve_upper_t(L, y):
 def cho_solve(L, b):
     """Solve A x = b given A = L L^T."""
     return solve_upper_t(L, solve_lower(L, b))
+
+
+def cho_solve_scalar(L, b):
+    """Solve A x = b given A = L L^T, raw scalar-lane forms."""
+    return solve_upper_t_scalar(L, solve_lower_scalar(L, b))
 
 
 # ---------------------------------------------------------------------------
