@@ -319,28 +319,34 @@ def _extras_glmm_grid_stats(
 
             return jax.lax.fori_loop(0, iters, body, (beta, v))
 
-        def dev64_at(Lam, beta64, v64):
-            eta = smallchol.rowmv(Xf, beta64) + Z @ (Lam @ v64)
+        def dev32_at(Lam32, beta, v):
+            # Deviance for candidate RANKING, entirely f32: differences
+            # between candidates near convergence are O(0.01-1) against a
+            # deviance of O(10^3) — comfortably above f32 resolution, and
+            # the LMM joint search already ranks in pure f32 with parity
+            # suites green. An f64 pass here costs full-data f64 matmuls
+            # per candidate (measured: it held glmm_extras to 65 fits/s).
+            eta = smallchol.rowmv(Xf32, beta) + Z32 @ (Lam32 @ v)
             mu, var, dmu = mu_var_dmu(eta)
-            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-            wZ = Z * w[:, None]
-            C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
+            wZ = Z32 * (
+                (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask32
+            )[:, None]
+            C = eye_M32 + Lam32.T @ (Z32.T @ wZ) @ Lam32
             return (
-                _deviance(spec.outcome, yf, mu, mask)
-                + jnp.sum(v64 * v64)
+                _deviance(spec.outcome, yf32, mu, mask32)
+                + jnp.sum(v * v)
                 + smallchol.logdet_from_chol(smallchol.chol_vec(C))
             )
 
         def make_search_eval(scalar_forms):
             def search_eval(theta, carry, iters):
                 Lam = _lam_all(theta, plan, sizes, M)
+                Lam32 = Lam.astype(f32)
                 beta32, v32 = pirls_loop32(
-                    Lam.astype(f32), carry[0], carry[1], iters,
+                    Lam32, carry[0], carry[1], iters,
                     scalar_forms=scalar_forms,
                 )
-                lap = dev64_at(
-                    Lam, beta32.astype(jnp.float64), v32.astype(jnp.float64)
-                )
+                lap = dev32_at(Lam32, beta32, v32).astype(jnp.float64)
                 return (
                     jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
                     (beta32, v32),

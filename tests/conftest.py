@@ -37,5 +37,14 @@ assert len(jax.devices()) == 8, jax.devices()
 
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache makes repeated test runs fast (first run pays).
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcpower_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# It can be DISABLED because loading cached XLA:CPU executables is flaky in
+# this build environment: the VM can migrate between hosts with different
+# CPU feature sets, and deserializing an executable compiled for the other
+# host segfaults/aborts the process mid-suite (observed round 3, twice, in
+# compilation_cache.get_executable_and_time). Set MCPOWER_TPU_JIT_CACHE=0
+# for a cold-but-reliable run; default keeps the cache.
+import os as _os
+
+if _os.environ.get("MCPOWER_TPU_JIT_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcpower_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
