@@ -214,7 +214,7 @@ def _extras_glmm_grid_stats(
                 w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
                 z = eta + (yf - mu) / dmu
                 wZ = Z * w[:, None]
-                # M x M capacitance: vectorized-row Cholesky twins (the
+                # M x M capacitance: blocked-column Cholesky twins (the
                 # scalar unroll's program size at M ~ 30 OOMs the TPU
                 # compile helper — see smallchol.chol_vec)
                 C = eye_M + Lam.T @ (Z.T @ wZ) @ Lam
@@ -275,11 +275,13 @@ def _extras_glmm_grid_stats(
         eye_M32 = jnp.eye(M, dtype=f32)
         eye_p32 = 1e-6 * jnp.eye(pf, dtype=f32)
 
-        def pirls_loop32(Lam32, beta, v, iters, scalar_forms=True):
-            # scalar-lane kernels in the search body (traced once — the
-            # fast zero-padding form; see _reml_quantities_joint's form
-            # note in mixedfit); the simplex-init twin passes
-            # scalar_forms=False so the program holds ONE scalar instance.
+        def pirls_loop32(Lam32, beta, v, iters):
+            # Blocked-column kernels in the search body: DUS-free M x M
+            # chol/solves (smallchol blocked twins). The measured
+            # alternatives both lost: the scalar-lane unroll compiled for
+            # >45 min (program size), and the round-3 per-column DUS twins
+            # paid O(M) full-accumulator copies per PIRLS step inside this
+            # loop (the round-3 137 fits/s diagnosis).
             def body(_, carry):
                 beta, v = carry
                 eta = smallchol.rowmv(Xf32, beta) + Z32 @ (Lam32 @ v)
@@ -290,20 +292,9 @@ def _extras_glmm_grid_stats(
                 C = eye_M32 + Lam32.T @ (Z32.T @ wZ) @ Lam32
                 At = Lam32.T @ (wZ.T @ Xf32)
                 bt = Lam32.T @ (wZ.T @ z)
-                if scalar_forms:
-                    cholC = smallchol.chol_scalar(C)
-                    sol_b = smallchol.cho_solve_scalar(cholC, bt)
-                    sol_A = jnp.stack(
-                        [
-                            smallchol.cho_solve_scalar(cholC, At[..., j])
-                            for j in range(At.shape[-1])
-                        ],
-                        axis=-1,
-                    )
-                else:
-                    cholC = smallchol.chol_vec(C)
-                    sol_b = smallchol.cho_solve_vec(cholC, bt)
-                    sol_A = smallchol.cho_solve_mat_vec(cholC, At)
+                cholC = smallchol.chol_vec(C)
+                sol_b = smallchol.cho_solve_vec(cholC, bt)
+                sol_A = smallchol.cho_solve_mat_vec(cholC, At)
                 a_xx = smallchol.crossprod(Xf32, w) - At.T @ sol_A + eye_p32
                 a_xy = smallchol.colsum(Xf32, w * z) - At.T @ sol_b
                 cholP = smallchol.chol(a_xx)
@@ -338,28 +329,22 @@ def _extras_glmm_grid_stats(
                 + smallchol.logdet_from_chol(smallchol.chol_vec(C))
             )
 
-        def make_search_eval(scalar_forms):
-            def search_eval(theta, carry, iters):
-                Lam = _lam_all(theta, plan, sizes, M)
-                Lam32 = Lam.astype(f32)
-                beta32, v32 = pirls_loop32(
-                    Lam32, carry[0], carry[1], iters,
-                    scalar_forms=scalar_forms,
-                )
-                lap = dev32_at(Lam32, beta32, v32).astype(jnp.float64)
-                return (
-                    jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
-                    (beta32, v32),
-                )
+        def search_eval(theta, carry, iters):
+            Lam = _lam_all(theta, plan, sizes, M)
+            Lam32 = Lam.astype(f32)
+            beta32, v32 = pirls_loop32(Lam32, carry[0], carry[1], iters)
+            lap = dev32_at(Lam32, beta32, v32).astype(jnp.float64)
+            return (
+                jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
+                (beta32, v32),
+            )
 
-            return search_eval
-
-        # Vectorized-row kernels at every site (the measured scalar-lane
+        # Blocked-column kernels at every site (the measured scalar-lane
         # twin compiled for >45 min on both backends — reverted; see the
         # mixedfit note). dynamic_budget keeps ONE traced body across the
-        # two budget phases, halving even the vec-form body count.
+        # two budget phases, halving even the blocked-form body count.
         theta_hat, _, _ = optim.nelder_mead_carry(
-            make_search_eval(False),
+            search_eval,
             theta0,
             (beta0.astype(f32), v0.astype(f32)),
             phases=(
@@ -917,16 +902,37 @@ def _intercept_glmm_grid_stats(
             return lap, beta2, u2
 
         def dev_at32(log_tau2, beta, u, iters):
-            """Search-phase evaluator: f32 PIRLS state, f64 deviance."""
+            """Search-phase evaluator: f32 PIRLS state, f64 deviance.
+
+            Holds for the AGQ objective too (round 4): the mode chain is
+            the SAME penalized IRLS — only the deviance read off at the
+            final mode changes — so the search runs its state math in f32
+            and the GH-node correction is ONE f64 (nodes, n) pass from the
+            f64-cast mode (pirls32's tail already recomputes the cluster
+            weights W_i in f64). Round 3 ran the whole AGQ search chain in
+            emulated f64 (glmm_agq7 3,341 fits/s, 10x under glmm_base);
+            the final fit, boundary probe, and accepted-optimum deviance
+            keep the full-f64 path, so the optimum itself is unchanged to
+            within the parity tolerances (tests/test_agq.py)."""
             tau2 = jnp.exp(log_tau2)
-            beta2, u2, _, _, lap = pirls32(tau2, beta, u, iters)
+            beta2, u2, w2, W2, lap = pirls32(tau2, beta, u, iters)
+            if nagq > 1:
+                lap = agq_deviance(
+                    tau2,
+                    beta2.astype(jnp.float64),
+                    u2.astype(jnp.float64),
+                    w2,
+                    W2,
+                    mask,
+                )
             return lap, beta2, u2
 
         # Brent (safeguarded parabolic) search with (beta, u) warm carry.
         # The cold starting eval gets the full PIRLS budget in f64; the
-        # search body runs at f32 state precision for the Laplace
-        # objective (the AGQ objective stays f64 — its logsumexp is its
-        # own elementwise pass). The regime is THROUGHPUT-bound (a
+        # search body runs at f32 state precision for BOTH objectives
+        # (Laplace, and since round 4 AGQ — its f64 logsumexp correction
+        # is one elementwise pass from the final mode, not per-iteration
+        # state). The regime is THROUGHPUT-bound (a
         # k-section variant with 6 vmapped probes per round LOST ~1.4x on
         # TPU — extra probe lanes are paid-for work, see ARCHITECTURE.md),
         # so total evaluations is the wall-clock: Brent's superlinear
@@ -934,19 +940,13 @@ def _intercept_glmm_grid_stats(
         # evaluations did in ~half. The parabolic steps also shrink monotonically near
         # the optimum, so the warm carry's (beta, u) is BETTER conditioned
         # than under golden's alternating-side probes.
-        search_f32 = nagq == 1
-        search_eval = dev_at32 if search_f32 else dev_at
-
         def init_eval(x, _carry):
             f, b2, u2 = dev_at(x, beta0, jnp.zeros(m, jnp.float64), N_PIRLS)
-            if search_f32:
-                b2 = b2.astype(jnp.float32)
-                u2 = u2.astype(jnp.float32)
-            return f, (b2, u2)
+            return f, (b2.astype(jnp.float32), u2.astype(jnp.float32))
 
         def make_eval(iters):
             def ev(x, carry):
-                f, b2, u2 = search_eval(x, carry[0], carry[1], iters)
+                f, b2, u2 = dev_at32(x, carry[0], carry[1], iters)
                 return f, (b2, u2)
 
             return ev
@@ -961,9 +961,8 @@ def _intercept_glmm_grid_stats(
             ),
             init_eval=init_eval,
         )
-        if search_f32:
-            beta_c = beta_c.astype(jnp.float64)
-            u_c = u_c.astype(jnp.float64)
+        beta_c = beta_c.astype(jnp.float64)
+        u_c = u_c.astype(jnp.float64)
 
         dev_int, beta_c, u_c = dev_at(log_tau2_hat, beta_c, u_c, N_PIRLS)
         dev_zero, _, _ = dev_at(jnp.float64(LOG_GAMMA_LO), beta_c, u_c, N_PIRLS)

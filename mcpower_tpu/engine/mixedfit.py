@@ -539,36 +539,22 @@ def _joint_suffstats(spec: SimSpec, Xf, yf, Z):
     return {k: jnp.cumsum(jnp.stack(v), axis=0) for k, v in segs.items()}
 
 
-def _reml_quantities_joint(Lam, ztz, ztx, zty, xtx, xty, yty, n, p,
-                           scalar_forms=False):
+def _reml_quantities_joint(Lam, ztz, ztx, zty, xtx, xty, yty, n, p):
     """Profile-REML pieces with the joint capacitance matrix at one cell.
 
-    Two kernel forms for the M x M work (M ~ sum m_g q_g ~ 30):
-    ``scalar_forms=True`` uses the zero-padding scalar-lane unroll — the
-    fast TPU form, but O(M^3) program size, so it is reserved for the one
-    call site traced exactly ONCE per program (the NM search body). The
-    default vectorized-row twins are ~60x smaller per instance (an
-    all-scalar program blew this arm to 6.2 MB StableHLO and OOMed the
-    TPU compile helper, round 3) and serve the rare sites (simplex init,
-    final refit)."""
+    The M x M work (M ~ sum m_g q_g ~ 30) runs on the blocked-column
+    twins (smallchol.chol_vec family): the scalar-lane unroll's O(M^3)
+    program size blew this arm to 6.2 MB StableHLO and OOMed the TPU
+    compile helper (round 3), and the per-column-DUS vectorized twins
+    paid O(M) full-accumulator copies per evaluation inside the NM loop
+    body — the blocked forms are both small-program and DUS-free."""
     M = Lam.shape[0]
     C = jnp.eye(M, dtype=Lam.dtype) + Lam.T @ ztz @ Lam
     At = Lam.T @ ztx  # (M, p)
     bt = Lam.T @ zty  # (M,)
-    if scalar_forms:
-        cholC = smallchol.chol_scalar(C)
-        sol_b = smallchol.cho_solve_scalar(cholC, bt)
-        sol_A = jnp.stack(
-            [
-                smallchol.cho_solve_scalar(cholC, At[..., j])
-                for j in range(At.shape[-1])
-            ],
-            axis=-1,
-        )
-    else:
-        cholC = smallchol.chol_vec(C)
-        sol_b = smallchol.cho_solve_vec(cholC, bt)
-        sol_A = smallchol.cho_solve_mat_vec(cholC, At)
+    cholC = smallchol.chol_vec(C)
+    sol_b = smallchol.cho_solve_vec(cholC, bt)
+    sol_A = smallchol.cho_solve_mat_vec(cholC, At)
     a_xx = xtx - At.T @ sol_A
     a_xy = xty - At.T @ sol_b
     a_yy = yty - bt @ sol_b
@@ -611,37 +597,30 @@ def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
         # cf. the GLMM f32 PIRLS twins): the NM evaluations are pure dense
         # M x M algebra, and in f64 v5e EMULATES every op — measured 43.7
         # fits/s with the all-f64 140-iter search (round 3). The search
-        # runs entirely in f32 over f32 suff-stat twins, with the hot NM
-        # body using the zero-padding SCALAR-lane kernels (one traced
-        # instance keeps the program compilable; the vectorized-row twins
-        # pay ~4x lane padding per op). Only the accepted theta is refit
-        # in f64: an f32-resolved theta is ~1e-3 off the f64 optimum,
-        # which perturbs tau^2 well under the parity tolerances while the
-        # beta/cov/sigma2 the t-tests ride come from the f64 refit.
+        # runs entirely in f32 over f32 suff-stat twins. Only the accepted
+        # theta is refit in f64: an f32-resolved theta is ~1e-3 off the
+        # f64 optimum, which perturbs tau^2 well under the parity
+        # tolerances while the beta/cov/sigma2 the t-tests ride come from
+        # the f64 refit.
         f32 = jnp.float32
         ss32 = tuple(a.astype(f32) for a in (ztz, ztx, zty, xtx, xty, yty))
         n32 = n.astype(f32)
 
-        def make_dev32(scalar_forms):
-            def dev_at32(theta):
-                Lam = _lam_all(theta.astype(f32), plan, sizes, M)
-                dev, *_ = _reml_quantities_joint(
-                    Lam, *ss32, n32, pf, scalar_forms=scalar_forms
-                )
-                return jnp.where(jnp.isfinite(dev), dev, f32(1e30)).astype(
-                    jnp.float64
-                )
+        def dev_at32(theta):
+            Lam = _lam_all(theta.astype(f32), plan, sizes, M)
+            dev, *_ = _reml_quantities_joint(Lam, *ss32, n32, pf)
+            return jnp.where(jnp.isfinite(dev), dev, f32(1e30)).astype(
+                jnp.float64
+            )
 
-            return dev_at32
-
-        # Vectorized-row kernels at BOTH NM sites. The scalar-lane twin was
-        # measured in the body too (one instance via f_init, 3.5 MB
-        # StableHLO): its zero-padding arithmetic is the faster form per
-        # op, but the program took >45 min to compile on BOTH backends
-        # (XLA:CPU and the TPU compile helper) — operationally broken for
-        # a corner-case arm, reverted. See ARCHITECTURE.md round-3 notes.
+        # Blocked-column kernels at BOTH NM sites. Two measured-and-rejected
+        # alternatives: the scalar-lane twin in the body (one instance via
+        # f_init, 3.5 MB StableHLO) took >45 min to compile on BOTH backends
+        # (XLA:CPU and the TPU compile helper); the round-3 per-column DUS
+        # twins copied the full M x M accumulator O(M) times per evaluation
+        # inside the NM loop body. See ARCHITECTURE.md round-3/4 notes.
         theta_hat, _ = optim.nelder_mead(
-            make_dev32(False), theta0, iters=140, init_step=0.3, lower=lower,
+            dev_at32, theta0, iters=140, init_step=0.3, lower=lower,
         )
         Lam = _lam_all(theta_hat, plan, sizes, M)
         dev, beta, chol, sigma2 = _reml_quantities_joint(

@@ -58,18 +58,11 @@ def _select_candidate(f_best, second, f_worst, fr, fe, fc_out, fc_in):
     )
 
 
-def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None,
-                f_init=None):
+def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None):
     """Minimize f: (d,) -> scalar from x0. Returns (x_best, f_best).
 
     ``lower``: optional (d,) elementwise lower bounds enforced by clipping
     every candidate (used for non-negative chol diagonals).
-
-    ``f_init``: optional objective used ONLY for the initial simplex
-    evaluation. When ``f`` is built from program-size-heavy kernels (the
-    joint-Z scalar-lane forms), passing a numerically-equivalent small-form
-    twin here keeps the compiled program to ONE heavy instance — the loop
-    body — instead of two (init + body).
     """
     d = x0.shape[-1]
     dtype = x0.dtype
@@ -82,7 +75,7 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None,
         [x0[None, :], x0[None, :] + init_step * jnp.eye(d, dtype=dtype)], axis=0
     )
     verts = clip(verts)
-    fvals = jax.vmap(f_init if f_init is not None else f)(verts)
+    fvals = jax.vmap(f)(verts)
 
     alpha, gamma, rho = 1.0, 2.0, 0.5
 
@@ -118,7 +111,7 @@ def nelder_mead(f, x0, *, iters: int = 150, init_step=0.5, lower=None,
 
 
 def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None,
-                      f_init=None, dynamic_budget=False):
+                      dynamic_budget=False):
     """Nelder-Mead with a warm-start aux thread and phased eval budgets.
 
     For objectives whose evaluation is itself an iterative solver (the
@@ -151,8 +144,7 @@ def nelder_mead_carry(f, x0, aux0, *, phases, init_step=0.5, lower=None,
         [x0[None, :], x0[None, :] + init_step * jnp.eye(d, dtype=dtype)], axis=0
     )
     verts = clip(verts)
-    fi = f_init if f_init is not None else f
-    fvals, auxs = jax.vmap(lambda x: fi(x, aux0, first_budget))(verts)
+    fvals, auxs = jax.vmap(lambda x: f(x, aux0, first_budget))(verts)
     aux = jax.tree_util.tree_map(
         lambda a: a[jnp.argmin(fvals)], auxs
     )  # best vertex's solver state seeds the carry

@@ -125,42 +125,62 @@ def cho_solve_scalar(L, b):
 
 
 # ---------------------------------------------------------------------------
-# Vectorized-row unroll twins for MID-SIZE matrices (p ~ 10-64): the joint-Z
+# Blocked-column unroll twins for MID-SIZE matrices (p ~ 10-64): the joint-Z
 # capacitance path (mixedfit/glmmfit extras) factors M x M systems with
 # M = sum_g m_g q_g ~ 30. The scalar unroll above emits O(p^3/6) scalar-lane
 # ops — 763 KB of StableHLO at p = 30 per instance, which blew one arm's
 # program past the TPU compile helper's memory (observed round 3: 6.2 MB
-# StableHLO, remote-compile SIGKILL). These twins do the SAME factorization
-# with O(p) stacked matvec steps (program size O(p), ~60x smaller at p = 30),
-# trading ~3x redundant FLOPs on zero-padded lanes — irrelevant beside the
-# compile-size cliff. Summation ORDER differs from the scalar unroll
-# (stacked dot vs sequential subtract), so results agree only to rounding;
-# the golden-pinned tiny-p hot paths therefore keep the scalar forms, and
-# only the joint-Z paths (whose parity tests are tolerance-based) use these.
+# StableHLO, remote-compile SIGKILL). The round-3 vectorized-row twins kept
+# the program small with O(p) stacked matvec steps, but each step ended in a
+# dynamic-update-slice of the FULL accumulator — inside a PIRLS/NM loop body
+# that is O(p) full-buffer copies per factorization (~330 MB of HBM traffic
+# per 1024-lane chunk step at M = 30), which held glmm_extras to 137 fits/s
+# (round-3 baseline). These blocked-column forms eliminate the DUS entirely:
+# columns are built functionally in Python lists (panel blocks of
+# CHOL_BLOCK columns), cross-block updates are ONE batched matmul per block,
+# and in-block recurrences are fused elementwise chains on single columns —
+# program size O(p * B), zero accumulator copies. Summation ORDER differs
+# from the scalar unroll (block matmul + sequential tail), so results agree
+# only to rounding; the golden-pinned tiny-p hot paths therefore keep the
+# scalar forms, and only tolerance-tested paths (joint-Z, wide-p dispatch)
+# use these.
 # ---------------------------------------------------------------------------
 
+CHOL_BLOCK = 8
 
-def chol_vec(A):
-    """Lower Cholesky of (..., p, p), one stacked matvec per column."""
+
+def chol_vec(A, block: int = CHOL_BLOCK):
+    """Lower Cholesky of (..., p, p): DUS-free blocked-column unroll."""
     p = A.shape[-1]
     if p > MAX_UNROLL_P * 4:
         return jnp.linalg.cholesky(A)
-    L = jnp.zeros_like(A)
     idx = jnp.arange(p)
-    for j in range(p):
-        a_j = A[..., :, j]
-        # columns >= j of L are still zero, so the full matvec sums only
-        # the computed columns — no slicing, one dot_general per step
-        rowj = L[..., j, :]
-        s = a_j - jnp.einsum("...ik,...k->...i", L, rowj)
-        d = jnp.sqrt(s[..., j])
-        colj = jnp.where(idx >= j, s / d[..., None], jnp.zeros_like(s))
-        L = L.at[..., :, j].set(colj)
-    return L
+    blocks = []  # (..., p, b) column panels, zero above the diagonal
+    for j0 in range(0, p, block):
+        j1 = min(j0 + block, p)
+        S = A[..., :, j0:j1]
+        if blocks:
+            Lprev = jnp.concatenate(blocks, axis=-1)  # (..., p, j0)
+            S = S - jnp.einsum(
+                "...ik,...jk->...ij", Lprev, Lprev[..., j0:j1, :]
+            )
+        cols = []
+        for jj in range(j1 - j0):
+            g = j0 + jj
+            s = S[..., :, jj]
+            for kk in range(jj):
+                # rank-1 tail within the block: fused elementwise chain
+                s = s - cols[kk] * cols[kk][..., g, None]
+            d = jnp.sqrt(s[..., g])
+            cols.append(
+                jnp.where(idx >= g, s / d[..., None], jnp.zeros_like(s))
+            )
+        blocks.append(jnp.stack(cols, axis=-1))
+    return jnp.concatenate(blocks, axis=-1) if len(blocks) > 1 else blocks[0]
 
 
-def solve_lower_vec(L, b):
-    """Forward substitution, one stacked dot per row."""
+def solve_lower_vec(L, b, block: int = CHOL_BLOCK):
+    """Forward substitution, blocked: one matvec per block + scalar tail."""
     p = L.shape[-1]
     if p > MAX_UNROLL_P * 4:
         import jax
@@ -168,15 +188,28 @@ def solve_lower_vec(L, b):
         return jax.lax.linalg.triangular_solve(
             L, b[..., None], left_side=True, lower=True
         )[..., 0]
-    y = jnp.zeros_like(b)
-    for i in range(p):
-        s = b[..., i] - jnp.einsum("...k,...k->...", L[..., i, :], y)
-        y = y.at[..., i].set(s / L[..., i, i])
-    return y
+    segs = []
+    for j0 in range(0, p, block):
+        j1 = min(j0 + block, p)
+        r = b[..., j0:j1]
+        if segs:
+            yprev = jnp.concatenate(segs, axis=-1)
+            r = r - jnp.einsum(
+                "...jk,...k->...j", L[..., j0:j1, :j0], yprev
+            )
+        ys = []
+        for ii in range(j1 - j0):
+            g = j0 + ii
+            s = r[..., ii]
+            for kk in range(ii):
+                s = s - L[..., g, j0 + kk] * ys[kk]
+            ys.append(s / L[..., g, g])
+        segs.append(jnp.stack(ys, axis=-1))
+    return jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
 
 
-def solve_upper_t_vec(L, y):
-    """Back substitution with the lower factor, stacked dots."""
+def solve_upper_t_vec(L, y, block: int = CHOL_BLOCK):
+    """Back substitution with the lower factor, blocked (see above)."""
     p = L.shape[-1]
     if p > MAX_UNROLL_P * 4:
         import jax
@@ -184,32 +217,91 @@ def solve_upper_t_vec(L, y):
         return jax.lax.linalg.triangular_solve(
             L, y[..., None], left_side=True, lower=True, transpose_a=True
         )[..., 0]
-    x = jnp.zeros_like(y)
-    for i in reversed(range(p)):
-        s = y[..., i] - jnp.einsum("...k,...k->...", L[..., :, i], x)
-        x = x.at[..., i].set(s / L[..., i, i])
-    return x
+    starts = list(range(0, p, block))
+    segs = {}
+    for j0 in reversed(starts):
+        j1 = min(j0 + block, p)
+        r = y[..., j0:j1]
+        if j1 < p:
+            xnext = jnp.concatenate(
+                [segs[s0] for s0 in starts if s0 >= j1], axis=-1
+            )
+            r = r - jnp.einsum(
+                "...kj,...k->...j", L[..., j1:, j0:j1], xnext
+            )
+        xs = [None] * (j1 - j0)
+        for ii in reversed(range(j1 - j0)):
+            g = j0 + ii
+            s = r[..., ii]
+            for kk in range(ii + 1, j1 - j0):
+                s = s - L[..., j0 + kk, g] * xs[kk]
+            xs[ii] = s / L[..., g, g]
+        segs[j0] = jnp.stack(xs, axis=-1)
+    out = [segs[s0] for s0 in starts]
+    return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
 
 
 def cho_solve_vec(L, b):
-    """Solve A x = b given A = L L^T (vectorized-row twins)."""
+    """Solve A x = b given A = L L^T (blocked-column twins)."""
     return solve_upper_t_vec(L, solve_lower_vec(L, b))
 
 
-def cho_solve_mat_vec(L, B):
-    """Solve A X = B for (..., p, r) right-hand sides in one pass: the
-    substitutions above work unchanged on matrix RHS when the dots contract
-    the leading solve axis."""
+def cho_solve_mat_vec(L, B, block: int = CHOL_BLOCK):
+    """Solve A X = B for (..., p, r) right-hand sides: the blocked
+    substitutions above with the extra RHS axis carried through the
+    einsums (one matmul per block instead of a matvec)."""
     p = L.shape[-1]
-    Y = jnp.zeros_like(B)
-    for i in range(p):
-        s = B[..., i, :] - jnp.einsum("...k,...kr->...r", L[..., i, :], Y)
-        Y = Y.at[..., i, :].set(s / L[..., i, i][..., None])
-    X = jnp.zeros_like(B)
-    for i in reversed(range(p)):
-        s = Y[..., i, :] - jnp.einsum("...k,...kr->...r", L[..., :, i], X)
-        X = X.at[..., i, :].set(s / L[..., i, i][..., None])
-    return X
+    if p > MAX_UNROLL_P * 4:
+        import jax
+
+        Y = jax.lax.linalg.triangular_solve(
+            L, B, left_side=True, lower=True
+        )
+        return jax.lax.linalg.triangular_solve(
+            L, Y, left_side=True, lower=True, transpose_a=True
+        )
+    starts = list(range(0, p, block))
+    # forward: L Y = B
+    ysegs = []
+    for j0 in starts:
+        j1 = min(j0 + block, p)
+        r = B[..., j0:j1, :]
+        if ysegs:
+            yprev = jnp.concatenate(ysegs, axis=-2)  # (..., j0, r)
+            r = r - jnp.einsum(
+                "...jk,...kr->...jr", L[..., j0:j1, :j0], yprev
+            )
+        ys = []
+        for ii in range(j1 - j0):
+            g = j0 + ii
+            s = r[..., ii, :]
+            for kk in range(ii):
+                s = s - L[..., g, j0 + kk, None] * ys[kk]
+            ys.append(s / L[..., g, g, None])
+        ysegs.append(jnp.stack(ys, axis=-2))
+    Y = jnp.concatenate(ysegs, axis=-2) if len(ysegs) > 1 else ysegs[0]
+    # backward: L^T X = Y
+    xsegs = {}
+    for j0 in reversed(starts):
+        j1 = min(j0 + block, p)
+        r = Y[..., j0:j1, :]
+        if j1 < p:
+            xnext = jnp.concatenate(
+                [xsegs[s0] for s0 in starts if s0 >= j1], axis=-2
+            )
+            r = r - jnp.einsum(
+                "...kj,...kr->...jr", L[..., j1:, j0:j1], xnext
+            )
+        xs = [None] * (j1 - j0)
+        for ii in reversed(range(j1 - j0)):
+            g = j0 + ii
+            s = r[..., ii, :]
+            for kk in range(ii + 1, j1 - j0):
+                s = s - L[..., j0 + kk, g, None] * xs[kk]
+            xs[ii] = s / L[..., g, g, None]
+        xsegs[j0] = jnp.stack(xs, axis=-2)
+    out = [xsegs[s0] for s0 in starts]
+    return jnp.concatenate(out, axis=-2) if len(out) > 1 else out[0]
 
 
 def cho_inverse(L):
