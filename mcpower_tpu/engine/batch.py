@@ -308,7 +308,21 @@ def run_batch(
     # (test_chunking_is_invisible), so cap the dispatch width for these
     # specs; everything else keeps the wide fast path.
     if spec.cluster is not None and spec.cluster.extra_groupings:
-        chunk = min(chunk, 1024)
+        capped = min(chunk, 1024)
+        if capped < chunk and chunk_size:
+            # An explicitly requested chunk_size is being overridden — say
+            # so once, so bench labels/caller expectations aren't misread
+            # (the warmup/timed runs still share the same effective chunk).
+            import warnings as _w
+
+            _w.warn(
+                f"extra-grouping spec: dispatch chunk capped at 1024 lanes "
+                f"(requested {chunk}); timings/progress reflect the capped "
+                "width",
+                UserWarning,
+                stacklevel=2,
+            )
+        chunk = capped
     totals: Dict[str, np.ndarray] = {}
 
     def _fold(out):

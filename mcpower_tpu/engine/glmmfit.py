@@ -221,8 +221,11 @@ def _extras_glmm_grid_stats(
                 cholC = smallchol.chol_vec(C)
                 At = Lam.T @ (wZ.T @ Xf)  # (M, p)
                 bt = Lam.T @ (wZ.T @ z)  # (M,)
-                sol_b = smallchol.cho_solve_vec(cholC, bt)
-                sol_A = smallchol.cho_solve_mat_vec(cholC, At)
+                # one joint [b | A] solve: halves the substitution chains
+                sol = smallchol.cho_solve_mat_vec(
+                    cholC, jnp.concatenate([bt[:, None], At], axis=-1)
+                )
+                sol_b, sol_A = sol[..., 0], sol[..., 1:]
                 a_xx = smallchol.crossprod(Xf, w) - At.T @ sol_A + eye_p
                 a_xy = smallchol.colsum(Xf, w * z) - At.T @ sol_b
                 cholP = smallchol.chol(a_xx)
@@ -293,8 +296,10 @@ def _extras_glmm_grid_stats(
                 At = Lam32.T @ (wZ.T @ Xf32)
                 bt = Lam32.T @ (wZ.T @ z)
                 cholC = smallchol.chol_vec(C)
-                sol_b = smallchol.cho_solve_vec(cholC, bt)
-                sol_A = smallchol.cho_solve_mat_vec(cholC, At)
+                sol = smallchol.cho_solve_mat_vec(
+                    cholC, jnp.concatenate([bt[:, None], At], axis=-1)
+                )
+                sol_b, sol_A = sol[..., 0], sol[..., 1:]
                 a_xx = smallchol.crossprod(Xf32, w) - At.T @ sol_A + eye_p32
                 a_xy = smallchol.colsum(Xf32, w * z) - At.T @ sol_b
                 cholP = smallchol.chol(a_xx)

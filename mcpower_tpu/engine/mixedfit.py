@@ -553,8 +553,11 @@ def _reml_quantities_joint(Lam, ztz, ztx, zty, xtx, xty, yty, n, p):
     At = Lam.T @ ztx  # (M, p)
     bt = Lam.T @ zty  # (M,)
     cholC = smallchol.chol_vec(C)
-    sol_b = smallchol.cho_solve_vec(cholC, bt)
-    sol_A = smallchol.cho_solve_mat_vec(cholC, At)
+    # one joint [b | A] solve: halves the substitution chains per NM eval
+    sol = smallchol.cho_solve_mat_vec(
+        cholC, jnp.concatenate([bt[:, None], At], axis=-1)
+    )
+    sol_b, sol_A = sol[..., 0], sol[..., 1:]
     a_xx = xtx - At.T @ sol_A
     a_xy = xty - At.T @ sol_b
     a_yy = yty - bt @ sol_b
