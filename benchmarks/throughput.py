@@ -5,9 +5,19 @@ throughput.rs: 21 frozen cases, fits/sec, median of 3, flag >10% drops): a
 fixed case grid covering every estimator arm x scenario off/on, timed after a
 warmup dispatch at the same shape, compared against a saved baseline JSON.
 
+De-noising (round 4): the axon TPU tunnel has fast and slow windows —
+identical programs measured 0.05 ms and 26 ms minutes apart, and untouched
+arms drifted +-25% across sessions (ARCHITECTURE.md round-3 log), so a raw
+fits/s comparison cannot enforce the reference's >10%-drop gate. Every arm
+is therefore BRACKETED by a frozen control program (a fixed elementwise
+fori_loop no engine change can touch) timed in the same window, and the
+regression gate runs on the arm/control RATIO, which cancels the session
+speed swing. Raw fits/s is still printed and stored for human reading.
+
 Usage:
     python benchmarks/throughput.py                 # run + compare
     python benchmarks/throughput.py --save-baseline # freeze current numbers
+    python benchmarks/throughput.py --arms a,b,c    # subset (no gate exit)
 """
 
 from __future__ import annotations
@@ -31,6 +41,7 @@ REPEATS = 3
 def _cases():
     from mcpower_tpu.engine.spec import (
         ClusterStatic,
+        ExtraGroupingStatic,
         ScenarioStatic,
         SlopeStatic,
     )
@@ -105,8 +116,6 @@ def _cases():
         )
     )
     # crossed-extra-grouping arms (joint-Z capacitance paths)
-    from mcpower_tpu.engine.spec import ExtraGroupingStatic
-
     cl_extras = ClusterStatic(
         sizing_mode="fixed_clusters",
         sizing_value=20,
@@ -135,10 +144,116 @@ def _cases():
                  effects=np.array([-0.3, 0.3, 0.2]), nagq=7),
         )
     )
+    # ------------------------------------------------------------------
+    # Reference 21-case shape coverage (throughput.rs:507-627) — regimes
+    # the 16-arm grid missed (VERDICT r3 #3): wide-p (the blocked-column
+    # chol autoroute at production width), factor+interaction dummy draw,
+    # rare-event separation stress, the matched-q1 LMM shape, and the
+    # q=3 multislope theta search.
+    # ------------------------------------------------------------------
+    cases.append(
+        (
+            "ols_factor_inter",
+            dict(
+                grid=[200],
+                var_types=["normal"],
+                factor_levels=[2],
+                factor_props=[0.5, 0.5],
+                interactions=[(1, 2)],
+                effects=np.array([0.0, 0.27, 0.5, 0.3]),
+                target_cols=[1],
+            ),
+        )
+    )
+    cases.append(
+        (
+            "ols_wide",
+            dict(
+                grid=[200],
+                var_types=["normal"] * 15,
+                corr=np.eye(15),
+                effects=np.array([0.0, 0.2, 0.2] + [0.0] * 13),
+                target_cols=[1, 2],
+            ),
+        )
+    )
+    # rare-event logit (baseline p = 0.05, logit intercept = ln(.05/.95))
+    # with a 3-level factor so the separation GATE + rescue dispatch — the
+    # machinery rare events actually exercise — is on the frozen grid.
+    cases.append(
+        (
+            "glm_rare",
+            dict(
+                grid=[500],
+                var_types=["normal", "normal"],
+                corr=corr2,
+                factor_levels=[3],
+                factor_props=[1 / 3, 1 / 3, 1 / 3],
+                effects=np.array([-2.944, 0.45, 0.45, 0.3, 0.15]),
+                target_cols=[1, 2],
+                estimator="glm",
+                outcome="binary",
+            ),
+        )
+    )
+    lme4 = dict(
+        grid=[480],
+        var_types=["normal"] * 4,
+        corr=np.eye(4),
+        effects=np.array([0.0, 0.15, 0.15, 0.0, 0.0]),
+        target_cols=[1, 2],
+        estimator="mle",
+    )
+    cases.append(("lme_matched_q1", dict(lme4, cluster=cl)))
+    cl_ms = ClusterStatic(
+        sizing_mode="fixed_clusters",
+        sizing_value=20,
+        tau_squared=0.25,
+        slopes=(
+            SlopeStatic(design_col=1, variance=0.10, intercept_corr=0.3),
+            SlopeStatic(design_col=2, variance=0.08, intercept_corr=0.1),
+        ),
+    )
+    cases.append(("lmm_multislope", dict(lme4, cluster=cl_ms)))
     return cases
 
 
-def run():
+_CTL = {}
+
+
+def _control_ms(reps: int = REPEATS) -> float:
+    """Median wall-time of the frozen control program, in ms.
+
+    A fixed elementwise fori_loop over a 16 MiB f32 buffer (~8 GB of VPU
+    traffic) that no engine change can touch. Timed adjacent to each arm,
+    it measures the SESSION's current speed (tunnel window, device clock),
+    so arm/control ratios are comparable across sessions even when raw
+    times are not.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if "fn" not in _CTL:
+
+        @jax.jit
+        def ctl(x):
+            def body(_, x):
+                return x * 1.0000001 + 0.5 / (x * x + 1.0)
+
+            return jax.lax.fori_loop(0, 192, body, x).sum()
+
+        _CTL["fn"] = ctl
+        _CTL["x"] = jnp.full((4 * 1024 * 1024,), 1.5, jnp.float32)
+        ctl(_CTL["x"]).block_until_ready()  # warmup/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _CTL["fn"](_CTL["x"]).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times) * 1e3
+
+
+def run(only=None):
     import jax
 
     # Persistent jit cache: re-timing unchanged arms skips their compiles.
@@ -149,6 +264,8 @@ def run():
 
     results = {}
     for name, kw in _cases():
+        if only and name not in only:
+            continue
         # Per-arm isolation: one arm failing to compile (a tunnel outage,
         # a compile-helper OOM — both observed round 3) must not lose the
         # other arms' numbers; the failure is reported and the exit code
@@ -163,9 +280,19 @@ def run():
                 batch.run_batch(spec, arrays, N_SIMS, 2137 + r, chunk_size=N_SIMS)
                 times.append(time.perf_counter() - t0)
             med = statistics.median(times)
+            ctl_ms = _control_ms()  # same-window bracket
             fits = N_SIMS * len(spec.grid)
-            results[name] = round(fits / med, 1)
-            print(f"{name:16s} {results[name]:>12,.0f} fits/sec  ({med*1e3:.1f} ms)")
+            fps = round(fits / med, 1)
+            results[name] = {
+                "fits_per_s": fps,
+                "control_ms": round(ctl_ms, 3),
+                # fits per control-op-time: the session-speed-free metric
+                "ratio": round(fps * ctl_ms / 1e3, 2),
+            }
+            print(
+                f"{name:16s} {fps:>12,.0f} fits/sec  ({med*1e3:8.1f} ms, "
+                f"ctl {ctl_ms:6.2f} ms, ratio {results[name]['ratio']:10,.1f})"
+            )
         except Exception as e:  # noqa: BLE001 — keep the grid running
             results[name] = None
             msg = str(e).splitlines()[0][:120]
@@ -176,13 +303,23 @@ def run():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--save-baseline", action="store_true")
+    ap.add_argument("--arms", default=None, help="comma-separated subset")
     args = ap.parse_args()
-    results = run()
+    only = set(args.arms.split(",")) if args.arms else None
+    results = run(only)
     failed = [n for n, v in results.items() if v is None]
     ok = {n: v for n, v in results.items() if v is not None}
     if args.save_baseline:
         if failed:
             sys.exit(f"refusing to freeze a baseline with failed arms: {failed}")
+        if only:
+            # subset refresh: merge into the existing baseline
+            prior = {}
+            if os.path.exists(BASELINE_PATH):
+                with open(BASELINE_PATH) as f:
+                    prior = json.load(f)
+            prior.update(ok)
+            ok = prior
         with open(BASELINE_PATH, "w") as f:
             json.dump(ok, f, indent=1, sort_keys=True)
         print(f"baseline saved to {BASELINE_PATH}")
@@ -191,13 +328,17 @@ def main():
         with open(BASELINE_PATH) as f:
             baseline = json.load(f)
         worst = None
-        for name, fps in ok.items():
-            if name in baseline and baseline[name] > 0:
-                ratio = fps / baseline[name]
-                flag = "  <-- REGRESSION" if ratio < 0.9 else ""
-                print(f"{name:16s} vs baseline: {ratio:6.2f}x{flag}")
-                worst = min(worst or ratio, ratio)
-        if failed or (worst is not None and worst < 0.9):
+        for name, rec in ok.items():
+            b = baseline.get(name)
+            if not isinstance(b, dict) or not b.get("ratio"):
+                continue
+            # the GATE runs on the control-normalized ratio (tunnel noise
+            # cancels); raw fits/s is printed above for human reading
+            ratio = rec["ratio"] / b["ratio"]
+            flag = "  <-- REGRESSION" if ratio < 0.9 else ""
+            print(f"{name:16s} vs baseline: {ratio:6.2f}x (ctl-normalized){flag}")
+            worst = min(worst or ratio, ratio)
+        if failed or (worst is not None and worst < 0.9 and not only):
             sys.exit(1)
     else:
         print("(no baseline; run with --save-baseline to freeze)")
