@@ -36,11 +36,32 @@ mcp_python <- function() Sys.getenv("MCPOWER_PYTHON", "python3")
 
 # ---- spec builder -----------------------------------------------------------
 
-#' Build an AppSpec document for a linear / logit / poisson model.
-#' effects: named numeric vector, e.g. c(x1 = 0.3, x2 = 0.25).
-#' var_types: optional list of lists, e.g.
+#' Build an AppSpec document (the tagged GUI wire, app_spec.rs:46-52).
+#'
+#' Families: "linear" | "logit" | "poisson" | "mixed" (reference R6 class
+#' surface, ports/r/R/mcpower.R:16). effects: named numeric vector, e.g.
+#' c(x1 = 0.3, x2 = 0.25). var_types: optional list of lists, e.g.
 #'   list(list(kind = "binary", name = "x2", binary_proportion = 0.4)).
 #'   Predictors without an entry default to numeric.
+#'
+#' Mixed-model fields (family = "mixed"):
+#'   cluster_name  name of the grouping variable (not a predictor)
+#'   icc           intraclass correlation, converted family-aware to tau^2
+#'                 by the engine (projection _tau_squared)
+#'   n_clusters / cluster_size  exactly one cluster sizing dimension
+#'   slopes        list(list(predictor_name=, slope_variance=,
+#'                 slope_intercept_corr=)) random slopes on the primary
+#'   extra_groupings  list(list(relation=list(kind="crossed", n_clusters=k)
+#'                 | list(kind="nested_within", n_per_parent=k),
+#'                 tau_squared=, cluster_name=)) crossed/nested factors
+#'   mixed_outcome NULL (gaussian) or list(kind="binary",
+#'                 baseline_probability=, link=) or list(kind="poisson",
+#'                 baseline_rate=, tau_squared=)
+#'   cluster_level_vars  predictors constant within cluster
+#'
+#' GLM fields: baseline_probability (logit), baseline_rate (poisson).
+#' scenarios: character vector of preset labels ("optimistic", "realistic",
+#' "doomer") fanned out per run. wald_se: "rx" | "hessian"; agq: odd nAGQ.
 mcp_spec <- function(outcome, predictors, effects,
                      family = "linear",
                      interaction_terms = list(),
@@ -49,7 +70,17 @@ mcp_spec <- function(outcome, predictors, effects,
                      alpha = 0.05, target_power = 0.8,
                      n_sims = 400, seed = 2137,
                      correction = "none",
-                     tests = list(kind = "all")) {
+                     tests = list(kind = "all"),
+                     baseline_probability = NULL,
+                     baseline_rate = NULL,
+                     cluster_name = NULL, icc = NULL,
+                     n_clusters = NULL, cluster_size = NULL,
+                     slopes = NULL, extra_groupings = NULL,
+                     mixed_outcome = NULL,
+                     cluster_level_vars = NULL,
+                     scenarios = NULL,
+                     wald_se = NULL, agq = NULL,
+                     csv = NULL) {
   if (is.null(var_types)) {
     var_types <- lapply(predictors, function(p) {
       list(kind = "numeric", name = p)
@@ -58,7 +89,7 @@ mcp_spec <- function(outcome, predictors, effects,
   eff <- lapply(names(effects), function(nm) {
     list(name = nm, value = unname(effects[[nm]]))
   })
-  list(
+  spec <- list(
     family = family,
     parsed_formula = list(
       outcome = outcome,
@@ -74,8 +105,56 @@ mcp_spec <- function(outcome, predictors, effects,
     seed = seed,
     tests = tests,
     correction = correction,
-    csv = NULL
+    csv = csv
   )
+  if (family == "logit" && !is.null(baseline_probability)) {
+    spec$baseline_probability <- baseline_probability
+  }
+  if (family == "poisson" && !is.null(baseline_rate)) {
+    spec$baseline_rate <- baseline_rate
+  }
+  if (family == "mixed") {
+    if (is.null(cluster_name) || is.null(icc)) {
+      stop("family='mixed' requires cluster_name and icc")
+    }
+    if (is.null(n_clusters) == is.null(cluster_size)) {
+      stop("family='mixed' requires exactly one of n_clusters / cluster_size")
+    }
+    spec$cluster_name <- cluster_name
+    spec$icc <- icc
+    spec$cluster_dim <- if (!is.null(n_clusters)) {
+      list(kind = "n_clusters", value = n_clusters)
+    } else {
+      list(kind = "cluster_size", value = cluster_size)
+    }
+    if (!is.null(slopes)) spec$slopes <- slopes
+    if (!is.null(extra_groupings)) spec$extra_groupings <- extra_groupings
+    # the wire key for the mixed-outcome block is "outcome" (app_spec.rs
+    # MixedOutcome tagged enum; parse_app_spec reads doc["outcome"])
+    if (!is.null(mixed_outcome)) spec$outcome <- mixed_outcome
+    if (!is.null(cluster_level_vars)) {
+      spec$cluster_level_vars <- as.list(cluster_level_vars)
+    }
+  }
+  if (!is.null(scenarios)) spec$scenarios <- as.list(scenarios)
+  if (!is.null(wald_se)) spec$wald_se <- wald_se
+  if (!is.null(agq)) spec$agq <- agq
+  spec
+}
+
+#' Attach uploaded pilot data to a spec (reference upload_data,
+#' model.py:841): df is a data.frame (numeric and factor/character
+#' columns), mode "partial" (NORTA moment reuse) or "strict" (row
+#' bootstrap). Factor/character columns are passed as numeric level codes.
+mcp_upload <- function(spec, df, mode = "partial") {
+  cols <- list()
+  for (nm in names(df)) {
+    v <- df[[nm]]
+    if (is.factor(v) || is.character(v)) v <- as.numeric(as.factor(v))
+    cols[[nm]] <- as.numeric(v)
+  }
+  spec$csv <- list(mode = mode, columns = cols)
+  spec
 }
 
 # ---- CLI invocation ---------------------------------------------------------
@@ -127,4 +206,44 @@ mcp_find_sample_size <- function(spec, from = NULL, to = NULL) {
   if (!is.null(from)) args <- c(args, "--from", as.character(from))
   if (!is.null(to)) args <- c(args, "--to", as.character(to))
   .mcp_call("app-search", spec, args)
+}
+
+# ---- result helpers ---------------------------------------------------------
+
+#' Pretty-print a result payload: the engine's own report text (the same
+#' boxed summary every host shows — reference output-report.R), falling
+#' back to the headline power numbers when only the raw JSON is available.
+mcp_summary <- function(result) {
+  if (!is.null(result$summary)) {
+    cat(result$summary, "\n")
+    return(invisible(result$summary))
+  }
+  if (!is.null(result$power_uncorrected)) {
+    cat("power (uncorrected):",
+        paste(sprintf("%.3f", result$power_uncorrected), collapse = ", "),
+        "\n")
+    return(invisible(result$power_uncorrected))
+  }
+  cat(substr(result$json, 1, 2000), "\n")
+  invisible(NULL)
+}
+
+#' Extract per-test corrected power as a named numeric vector (requires
+#' jsonlite for deep parsing; NULL otherwise). `powers$corrected` is
+#' [per-N rows] x [per-target]; this returns the LAST grid point's row
+#' (the run's N for find_power; the largest N for a search).
+mcp_power <- function(result, scenario = NULL) {
+  p <- result$parsed
+  if (is.null(p)) return(NULL)
+  tree <- p$result
+  if (!is.null(tree$scenarios)) {
+    lab <- if (is.null(scenario)) names(tree$scenarios)[[1]] else scenario
+    tree <- tree$scenarios[[lab]]
+  }
+  rows <- tree$powers$corrected
+  row <- rows[[length(rows)]]
+  out <- vapply(row, as.numeric, numeric(1))
+  labs <- unlist(tree$target_labels)
+  if (!is.null(labs) && length(labs) == length(out)) names(out) <- labs
+  out
 }

@@ -39,4 +39,96 @@ expect_true(grepl('"first_achieved"', res2$json), "first-achieved present")
 res3 <- mcp_find_power(spec, 150)
 expect_true(identical(res$json, res3$json), "cross-process determinism")
 
+# 4. golden wire: the JSON writer's output must parse to EXACTLY the
+# committed fixture documents (the same payloads tests/test_r_port.py
+# replays through the engine — the two sides meet at the fixture, so the
+# R writer is pinned even though CI images differ in what they can run).
+.r_dir <- dirname(sub("--file=", "", grep("--file=", commandArgs(FALSE),
+                                          value = TRUE)))
+.golden <- function(name) file.path(.r_dir, "tests", "golden", name)
+
+.canon <- function(x) {
+  # order-insensitive structural normalization for comparison
+  if (is.list(x)) {
+    nm <- names(x)
+    if (!is.null(nm) && any(nzchar(nm))) {
+      x <- x[order(nm)]
+      return(lapply(x, .canon))
+    }
+    return(lapply(x, .canon))
+  }
+  if (is.numeric(x)) return(round(as.numeric(x), 10))
+  x
+}
+
+golden_specs <- list(
+  mixed_intercept.json = mcp_spec(
+    outcome = "y", predictors = c("x1", "x2"),
+    effects = c(x1 = 0.4, x2 = 0.25),
+    family = "mixed", cluster_name = "site", icc = 0.2, n_clusters = 12,
+    n_sims = 60, seed = 7
+  ),
+  mixed_slopes_extras.json = mcp_spec(
+    outcome = "y", predictors = c("x1", "x2"),
+    effects = c(x1 = 0.4, x2 = 0.25),
+    family = "mixed", cluster_name = "site", icc = 0.1, n_clusters = 12,
+    slopes = list(list(predictor_name = "x1", slope_variance = 0.1,
+                       slope_intercept_corr = 0.2)),
+    extra_groupings = list(list(
+      relation = list(kind = "crossed", n_clusters = 8),
+      tau_squared = 0.05, cluster_name = "rater"
+    )),
+    n_sims = 60, seed = 7
+  ),
+  mixed_binary.json = mcp_spec(
+    outcome = "y", predictors = "x1", effects = c(x1 = 0.3),
+    family = "mixed", cluster_name = "site", icc = 0.2, n_clusters = 12,
+    mixed_outcome = list(kind = "binary", baseline_probability = 0.3,
+                         link = "logit"),
+    n_sims = 60, seed = 3,
+    tests = list(kind = "effects", names = list("x1"))
+  ),
+  upload_partial.json = mcp_upload(
+    mcp_spec(
+      outcome = "y", predictors = c("x1", "x2"),
+      effects = c(x1 = 0.45, x2 = 0.3), n_sims = 120, seed = 42
+    ),
+    data.frame(
+      x1 = c(0.1, -0.4, 1.2, 0.7, -1.1, 0.3, -0.8, 1.5, -0.2, 0.9,
+             -1.3, 0.6, 0.0, -0.5, 1.1, -0.9, 0.4, 1.8, -1.6, 0.2,
+             0.8, -0.3, 1.4, -0.7, 0.5),
+      x2 = c(1.0, 0.2, -0.6, 1.3, 0.4, -1.2, 0.7, -0.1, 1.6, -0.9,
+             0.3, 1.1, -0.4, 0.8, -1.5, 0.6, 0.0, -0.8, 1.2, 0.5,
+             -1.0, 0.9, -0.2, 1.7, -0.5)
+    ),
+    mode = "partial"
+  )
+)
+
+if (requireNamespace("jsonlite", quietly = TRUE)) {
+  for (nm in names(golden_specs)) {
+    built <- jsonlite::fromJSON(.mcp_json(golden_specs[[nm]]),
+                                simplifyVector = FALSE)
+    want <- jsonlite::fromJSON(paste(readLines(.golden(nm), warn = FALSE),
+                                     collapse = "\n"),
+                               simplifyVector = FALSE)
+    expect_true(identical(.canon(built), .canon(want)),
+                paste("golden wire:", nm))
+  }
+} else {
+  # no jsonlite: spot-check load-bearing substrings of the emitted JSON
+  j <- .mcp_json(golden_specs[["mixed_slopes_extras.json"]])
+  for (s in c('"family":"mixed"', '"cluster_name":"site"', '"icc":0.1',
+              '"kind":"n_clusters"', '"slope_variance":0.1',
+              '"kind":"crossed"', '"tau_squared":0.05')) {
+    expect_true(grepl(s, j, fixed = TRUE), paste("wire fragment", s))
+  }
+}
+
+# 5. mixed model end-to-end through the engine (the VERDICT r3 #5 bar)
+mres <- mcp_find_power(golden_specs[["mixed_intercept.json"]], 120)
+expect_true(grepl('"uncorrected"', mres$json), "mixed payload carries power")
+expect_true(grepl("MCPower", mres$json), "mixed payload carries the report")
+mcp_summary(mres)
+
 cat("ALL R HOST CHECKS PASSED\n")
