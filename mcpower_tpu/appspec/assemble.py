@@ -342,6 +342,19 @@ def assemble(app: AppSpec) -> Assembled:
         target_test = tok if target_test is None else f"{target_test}, {tok}"
     if app.report_overall and target_test is not None and app.tests.kind != "all":
         target_test = f"{target_test}, overall"
+    if app.posthoc:
+        # all-pairwise post-hoc per factor (testsel "all-posthoc"); with the
+        # default "all" selection the explicit "all" keyword reproduces the
+        # None-default expansion (every effect + omnibus when available)
+        if not any(vt.kind == "factor" for vt in app.var_types):
+            raise AppSpecError(
+                "$.posthoc", "post-hoc contrasts need at least one factor"
+            )
+        target_test = (
+            "all, all-posthoc"
+            if target_test is None
+            else f"{target_test}, all-posthoc"
+        )
 
     tp = app.target_power if app.target_power > 1.0 else app.target_power * 100.0
     return Assembled(

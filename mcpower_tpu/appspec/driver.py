@@ -11,14 +11,43 @@ returning False cancels between dispatch chunks.
 
 from __future__ import annotations
 
+import hashlib
+import json
 from typing import Any, Callable, Dict, Optional
 
 from .assemble import assemble
 from .types import parse_app_spec
 
 
-def _result_payload(result: Any, plots: Dict[str, Dict]) -> Dict[str, Any]:
-    return {"result": dict(result), "plots": plots, "summary": result.summary()}
+def _result_payload(
+    result: Any,
+    plots: Dict[str, Dict],
+    part_meta: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    out = {"result": dict(result), "plots": plots, "summary": result.summary()}
+    if part_meta is not None:
+        out["part_meta"] = part_meta
+    return out
+
+
+def _spec_fingerprint(doc: Any) -> str:
+    """Canonical-JSON hash of the raw AppSpec document — the identity the
+    merge verb uses to refuse pooling parts built from different specs."""
+    if isinstance(doc, bytes):
+        doc = doc.decode("utf-8")
+    if isinstance(doc, str):
+        doc = json.loads(doc)
+    blob = json.dumps(doc, sort_keys=True, separators=(",", ":"), default=str)
+    return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
+
+
+def _part_meta(a, doc, n_sims, sim_id_offset) -> Dict[str, Any]:
+    return {
+        "spec": _spec_fingerprint(doc),
+        "seed": a.seed,
+        "sim_offset": int(sim_id_offset),
+        "n_sims": int(n_sims) if n_sims is not None else int(a.n_sims),
+    }
 
 
 def run_find_power(
@@ -50,7 +79,9 @@ def run_find_power(
         progress_callback=progress,
         verbose=False,
     )
-    return _result_payload(result, result.plots())
+    return _result_payload(
+        result, result.plots(), _part_meta(a, doc, n_sims, sim_id_offset)
+    )
 
 
 def run_find_sample_size(
@@ -81,7 +112,50 @@ def run_find_sample_size(
         progress_callback=progress,
         verbose=False,
     )
-    return _result_payload(result, result.plots())
+    return _result_payload(
+        result, result.plots(), _part_meta(a, doc, n_sims, sim_id_offset)
+    )
+
+
+def _validate_part_meta(parts) -> None:
+    """Refuse statistically wrong pools: parts from different specs/seeds,
+    or with overlapping sim-id ranges (which double-count draws — see
+    merge_power_results). Parts without ``part_meta`` (bare result trees,
+    payloads written before the echo existed) skip the check — additive
+    evolution, same stance as the contract layer."""
+    from .types import AppSpecError
+
+    metas = [
+        p.get("part_meta")
+        if isinstance(p, dict) and "result" in p
+        else None
+        for p in parts
+    ]
+    known = [(i, m) for i, m in enumerate(metas) if isinstance(m, dict)]
+    if len(known) < 2:
+        return
+    i0, m0 = known[0]
+    for i, m in known[1:]:
+        for key in ("spec", "seed"):
+            if m.get(key) != m0.get(key):
+                raise AppSpecError(
+                    f"$.parts[{i}].part_meta.{key}",
+                    f"{m.get(key)!r} differs from parts[{i0}] "
+                    f"({m0.get(key)!r}) — parts must come from the same "
+                    "document and seed to pool exactly",
+                )
+    ranges = sorted(
+        (int(m["sim_offset"]), int(m["sim_offset"]) + int(m["n_sims"]), i)
+        for i, m in known
+        if "sim_offset" in m and "n_sims" in m
+    )
+    for (lo1, hi1, i1), (lo2, hi2, i2) in zip(ranges, ranges[1:]):
+        if lo2 < hi1:
+            raise AppSpecError(
+                f"$.parts[{i2}].part_meta",
+                f"sim-id range [{lo2}, {hi2}) overlaps parts[{i1}]'s "
+                f"[{lo1}, {hi1}) — overlapping ranges double-count draws",
+            )
 
 
 def merge_run_payloads(parts: Any) -> Dict[str, Any]:
@@ -103,6 +177,7 @@ def merge_run_payloads(parts: Any) -> Dict[str, Any]:
 
     if not isinstance(parts, list) or not parts:
         raise AppSpecError("$.parts", "expected a non-empty list of payloads")
+    _validate_part_meta(parts)
     results = [
         p["result"] if isinstance(p, dict) and "result" in p else p
         for p in parts

@@ -169,6 +169,10 @@ class AppSpec:
     scenarios: Tuple[AppScenario, ...] = ()
     csv: Optional[AppCsvData] = None
     report_overall: bool = False
+    # all-pairwise post-hoc contrasts for every factor (the reference app's
+    # ANOVA/posthoc editor emits this; maps to the "all-posthoc" target
+    # token — testsel.resolve_tests)
+    posthoc: bool = False
     contrasts: Tuple[Tuple[str, str], ...] = ()
     test_formula: Optional[str] = None
     outcome_options: Optional[AppOutcomeOptions] = None
@@ -469,6 +473,7 @@ def parse_app_spec(doc: Any) -> AppSpec:
         scenarios=_parse_scenarios(doc.get("scenarios"), "$.scenarios"),
         csv=csv,
         report_overall=bool(doc.get("report_overall", False)),
+        posthoc=bool(doc.get("posthoc", False)),
         contrasts=tuple(
             (  # [pos, neg] pairs
                 _string(c[0], f"$.contrasts[{i}][0]"),

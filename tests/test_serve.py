@@ -84,7 +84,11 @@ def test_run_verb_returns_driver_payload(server_url):
         server_url, "/api/run", {"spec": _doc(), "sample_size": 200}
     )
     assert code == 200
-    assert set(payload) == {"result", "plots", "summary"}
+    assert set(payload) == {"result", "plots", "summary", "part_meta"}
+    # the part identity echo the merge verb validates pools with
+    meta = payload["part_meta"]
+    assert meta["seed"] == 11 and meta["sim_offset"] == 0
+    assert meta["n_sims"] == 150 and meta["spec"]
     res = payload["result"]
     assert res["sample_sizes"] == [200]
     p_x1 = res["powers"]["uncorrected"][0][0]
@@ -192,7 +196,7 @@ def test_worker_pool_run_merge_exact(server_url):
         parts.append(p)
     code, merged = _post(server_url, "/api/merge", {"parts": parts})
     assert code == 200
-    assert set(merged) == {"result", "plots", "summary"}
+    assert set(merged) == {"result", "plots", "summary"}  # no stale part_meta
     mr, or_ = merged["result"], one["result"]
     assert mr["n_sims"] == 120
     assert mr["success_counts_uncorrected"] == or_["success_counts_uncorrected"]
@@ -212,8 +216,116 @@ def test_merge_rejects_non_payload_parts(server_url):
     assert payload["error"]["path"] == "$.parts"
 
 
+def test_merge_rejects_overlapping_ranges_and_foreign_parts(server_url):
+    """Statistically wrong pools are refused up front (ADVICE r3 #1): parts
+    with overlapping sim-id ranges double-count draws; parts from another
+    seed or spec are a different experiment."""
+    body = {"spec": _doc(), "sample_size": 200}
+    code, a = _post(server_url, "/api/run", dict(body, n_sims=70))
+    assert code == 200
+    code, b = _post(server_url, "/api/run",
+                    dict(body, n_sims=70, sim_offset=40))  # overlaps [0,70)
+    assert code == 200
+    code, payload = _post(server_url, "/api/merge", {"parts": [a, b]})
+    assert code == 400
+    assert "overlap" in payload["error"]["message"]
+
+    body2 = {"spec": _doc(seed=99), "sample_size": 200}
+    code, c = _post(server_url, "/api/run",
+                    dict(body2, n_sims=50, sim_offset=70))
+    assert code == 200
+    code, payload = _post(server_url, "/api/merge", {"parts": [a, c]})
+    assert code == 400
+    assert "seed" in payload["error"]["path"]
+
+
+def test_scenarios_run_returns_robustness_comparison(server_url):
+    """A scenario fan-out returns the per-scenario trees + the comparison
+    block the GUI's robustness table renders (VERDICT r3 #6)."""
+    code, payload = _post(
+        server_url,
+        "/api/run",
+        {"spec": _doc(scenarios=["optimistic", "realistic"]),
+         "sample_size": 150},
+    )
+    assert code == 200
+    res = payload["result"]
+    assert set(res["scenarios"]) == {"optimistic", "realistic"}
+    comp = res["comparison"]
+    assert comp["labels"] == ["optimistic", "realistic"]
+    assert set(comp["power_corrected_by_scenario"]) == {
+        "optimistic", "realistic"
+    }
+    assert "Scenario" in payload["summary"] or "scenario" in payload["summary"]
+
+
+def test_posthoc_run_returns_pairwise_block(server_url):
+    """posthoc=true on a factor design returns the per-factor pairwise
+    power block (reference app's ANOVA/posthoc editor surface)."""
+    doc = _doc(
+        var_types=[
+            {"kind": "numeric", "name": "x1"},
+            {"kind": "factor", "name": "x2", "factor_n_levels": 3,
+             "factor_proportions": [0.34, 0.33, 0.33]},
+        ],
+        effects=[
+            {"name": "x1", "value": 0.4},
+            {"name": "x2[2]", "value": 0.5},
+            {"name": "x2[3]", "value": 0.2},
+        ],
+        posthoc=True,
+    )
+    code, payload = _post(server_url, "/api/run",
+                          {"spec": doc, "sample_size": 150})
+    assert code == 200
+    res = payload["result"]
+    assert "posthoc" in res and "x2" in res["posthoc"]
+    pairs = res["posthoc"]["x2"]
+    assert len(pairs) == 3  # C(3,2) pairwise contrasts
+    for v in pairs.values():
+        assert 0.0 <= v["power"][-1] <= 1.0
+
+    # posthoc without any factor is a structural 400 with the field path
+    code, payload = _post(server_url, "/api/run",
+                          {"spec": _doc(posthoc=True), "sample_size": 100})
+    assert code == 400
+    assert payload["error"]["path"] == "$.posthoc"
+
+
+def test_csv_upload_run(server_url):
+    """An attached pilot-data block drives the upload path end-to-end over
+    the GUI boundary (the reference app's upload dialog surface)."""
+    rng = __import__("numpy").random.default_rng(5)
+    x1 = rng.normal(size=40)
+    x2 = (rng.uniform(size=40) < 0.4).astype(float)
+    doc = _doc(csv={
+        "mode": "partial",
+        "columns": {"x1": x1.tolist(), "x2": x2.tolist()},
+    })
+    code, payload = _post(server_url, "/api/run",
+                          {"spec": doc, "sample_size": 150})
+    assert code == 200
+    p = payload["result"]["powers"]["uncorrected"][0]
+    assert all(0.0 <= v <= 1.0 for v in p)
+
+
 def test_page_ships_worker_pool_ui(server_url):
     with urllib.request.urlopen(server_url + "/", timeout=30) as r:
         page = r.read().decode()
     assert 'id="workers"' in page
     assert "splitSims" in page and "/api/merge" in page
+
+
+def test_page_ships_round4_ui(server_url):
+    """Upload, scenarios, posthoc, and history surfaces exist in the page
+    (VERDICT r3 #6), and the mixed-outcome block uses the wire key the
+    parser reads (the round-3 page emitted a dead 'mixed_outcome' key)."""
+    with urllib.request.urlopen(server_url + "/", timeout=30) as r:
+        page = r.read().decode()
+    for frag in ('id="csvtext"', 'id="csvmode"', "attachCsv", "parseCsv",
+                 'class="scen"', "scenarioLabels", 'id="posthoc"',
+                 "renderPosthoc", "renderScenarios",
+                 'id="historybox"', "localStorage", "restoreSpec"):
+        assert frag in page, frag
+    assert "doc.outcome =" in page  # mixed-outcome wire-key fix
+    assert "doc.mixed_outcome =" not in page
