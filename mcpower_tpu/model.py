@@ -1124,9 +1124,32 @@ class MCPower:
         # reference shares this generation rule, data_gen.rs:943, and fails
         # the same way at runtime — here the cause is named up front).
         if len(fixed_names) >= 2:
+            import math
+            from fractions import Fraction
+
             from .engine.datagen import fixed_allocation_codes
 
+            # The fixed walks are PERIODIC (each repeats once L * p_i are
+            # all integers), so a bounded prefix covering a few joint
+            # periods decides linear dependence exactly — testing the full
+            # N_max just repeats the same rows through the SVD (with many
+            # factors and a large to_size that was measurable host
+            # latency). Estimate each walk's period from rationalized
+            # proportions, take the joint lcm (capped), and test
+            # min(N_max, a few periods).
+            joint_period = 1
+            for name in fixed_names:
+                per = 1
+                for p in self._registry.factor_proportions(name):
+                    per = math.lcm(
+                        per, Fraction(p).limit_denominator(64).denominator
+                    )
+                joint_period = math.lcm(joint_period, min(per, 512))
+                if joint_period >= 4096:
+                    joint_period = 4096
+                    break
             n_chk = int(grid_ns[-1]) if grid_ns else int(n_min)
+            n_chk = min(n_chk, max(256, 2 * joint_period))
             dummies: Dict[str, np.ndarray] = {}
             for name in fixed_names:
                 codes = fixed_allocation_codes(
