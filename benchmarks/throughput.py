@@ -291,12 +291,16 @@ def run(only=None):
             }
             print(
                 f"{name:16s} {fps:>12,.0f} fits/sec  ({med*1e3:8.1f} ms, "
-                f"ctl {ctl_ms:6.2f} ms, ratio {results[name]['ratio']:10,.1f})"
+                f"ctl {ctl_ms:6.2f} ms, ratio {results[name]['ratio']:10,.1f})",
+                flush=True,  # progress must be visible through a redirect
             )
         except Exception as e:  # noqa: BLE001 — keep the grid running
             results[name] = None
             msg = str(e).splitlines()[0][:120]
-            print(f"{name:16s}       FAILED  ({type(e).__name__}: {msg})")
+            print(
+                f"{name:16s}       FAILED  ({type(e).__name__}: {msg})",
+                flush=True,
+            )
     return results
 
 

@@ -35,6 +35,7 @@ loopback only by default — it is a local application shell, not a service.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -45,7 +46,29 @@ from .types import AppSpecError
 _STATIC = Path(__file__).parent / "static"
 _MAX_BODY = 64 * 1024 * 1024  # uploaded CSV columns ride inside the doc
 
-_JOBS_LOCK = threading.Lock()  # one engine run at a time (single device)
+# One engine run per LOCAL DEVICE instead of one per process: part requests
+# draw a device from this slot queue and dispatch under
+# ``jax.default_device(dev)`` (JAX config context managers are thread-local,
+# so concurrent handler threads drive different chips — a TPU pod-slice VM
+# exposes each chip as one ``jax.local_device``). A single-device host
+# degenerates to the previous one-run-at-a-time lock. The reference's
+# browser pool gets its concurrency from one wasm engine per WebWorker
+# (ports/wasm/src/index.ts); here the equivalent unit is one chip per part.
+_SLOTS: Optional["queue.Queue"] = None
+_SLOTS_INIT = threading.Lock()
+
+
+def _device_slots() -> "queue.Queue":
+    global _SLOTS
+    with _SLOTS_INIT:
+        if _SLOTS is None:
+            import jax
+
+            q: "queue.Queue" = queue.Queue()
+            for d in jax.local_devices():
+                q.put(d)
+            _SLOTS = q
+    return _SLOTS
 
 
 def _payload_for(body: Dict[str, Any]) -> Tuple[str, Dict[str, Any]]:
@@ -170,8 +193,18 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if verb == "run" and "sample_size" not in body:
                 raise AppSpecError("$.sample_size", "required field missing")
-            with _JOBS_LOCK:
-                _, payload = _payload_for(body)
+            slots = _device_slots()
+            dev = slots.get()  # blocks while every device is busy
+            try:
+                import jax
+
+                with jax.default_device(dev):
+                    _, payload = _payload_for(body)
+            finally:
+                slots.put(dev)
+            # Host provenance (NOT pool identity — that is part_meta's job):
+            # lets a fan-out page or a test see which chip served each part.
+            payload["host"] = {"device": str(dev), "platform": dev.platform}
             self._send(200, payload)
         except AppSpecError as e:
             self._send(400, {"error": {"path": e.path, "message": e.reason}})

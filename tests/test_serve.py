@@ -84,7 +84,9 @@ def test_run_verb_returns_driver_payload(server_url):
         server_url, "/api/run", {"spec": _doc(), "sample_size": 200}
     )
     assert code == 200
-    assert set(payload) == {"result", "plots", "summary", "part_meta"}
+    assert set(payload) == {"result", "plots", "summary", "part_meta", "host"}
+    # which chip served this part (the per-part device pool's provenance)
+    assert payload["host"]["device"]
     # the part identity echo the merge verb validates pools with
     meta = payload["part_meta"]
     assert meta["seed"] == 11 and meta["sim_offset"] == 0
@@ -230,11 +232,23 @@ def test_merge_rejects_overlapping_ranges_and_foreign_parts(server_url):
     assert code == 400
     assert "overlap" in payload["error"]["message"]
 
+    # A different document (here: different seed INSIDE the doc) changes the
+    # spec fingerprint, which is checked first.
     body2 = {"spec": _doc(seed=99), "sample_size": 200}
     code, c = _post(server_url, "/api/run",
                     dict(body2, n_sims=50, sim_offset=70))
     assert code == 200
     code, payload = _post(server_url, "/api/merge", {"parts": [a, c]})
+    assert code == 400
+    assert "spec" in payload["error"]["path"]
+
+    # The seed guard itself needs a part whose DOC matches but whose seed
+    # claims otherwise (a hand-built/corrupted payload): tamper the echo.
+    code, d = _post(server_url, "/api/run",
+                    dict(body, n_sims=50, sim_offset=70))
+    assert code == 200
+    d["part_meta"]["seed"] = 99
+    code, payload = _post(server_url, "/api/merge", {"parts": [a, d]})
     assert code == 400
     assert "seed" in payload["error"]["path"]
 
@@ -329,3 +343,42 @@ def test_page_ships_round4_ui(server_url):
         assert frag in page, frag
     assert "doc.outcome =" in page  # mixed-outcome wire-key fix
     assert "doc.mixed_outcome =" not in page
+
+
+def test_per_part_device_assignment(server_url):
+    """Multi-device hosts run parts on SEPARATE chips (VERDICT r3 weak #7:
+    the round-3 server held one global lock, so the GUI fan-out proved the
+    merge protocol but parts always serialized on one device). The server
+    keeps a slot queue over jax.local_devices(); a request draws a device
+    and dispatches under jax.default_device. Determinism trick: check out
+    every device but one from the live queue — the next request MUST be
+    served by (and report) the one device left."""
+    import jax
+
+    from mcpower_tpu.appspec import serve as serve_mod
+
+    body = {"spec": _doc(), "sample_size": 120, "n_sims": 60}
+    code, first = _post(server_url, "/api/run", body)
+    assert code == 200
+    # provenance is reported per part, and is a real local device
+    dev_names = {str(d) for d in jax.local_devices()}
+    assert first["host"]["device"] in dev_names
+    assert first["host"]["platform"] == "cpu"  # the suite's virtual mesh
+
+    slots = serve_mod._device_slots()
+    assert slots.qsize() == len(jax.local_devices()) == 8
+    held = [slots.get() for _ in range(7)]  # leave exactly one slot free
+    try:
+        free = {str(d) for d in list(slots.queue)}
+        assert len(free) == 1
+        code, p = _post(server_url, "/api/run", dict(body, sim_offset=60))
+        assert code == 200
+        assert {p["host"]["device"]} == free  # served by the only free chip
+    finally:
+        for d in held:
+            slots.put(d)
+    # device assignment is provenance only: parts from different devices
+    # still pool exactly (same seed, disjoint ranges)
+    code, merged = _post(server_url, "/api/merge", {"parts": [first, p]})
+    assert code == 200
+    assert merged["result"]["n_sims"] == 120
