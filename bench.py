@@ -31,22 +31,29 @@ def _timed(spec, arrays, n_sims, min_converged=0.9):
     return elapsed
 
 
-def _wait_for_backend(attempts=12, pause_s=90, probe_timeout_s=120):
+def _wait_for_backend(attempts=12, pause_s=90, probe_timeout_s=300):
     """Ride out tunneled-TPU outages before touching jax in THIS process.
 
     During an outage ``jax.devices()`` does not raise — it BLOCKS
     indefinitely inside backend init (observed round 3), so an in-process
     try/except retry loop never gets its second attempt. Probe in a
     killable subprocess instead, and only let the parent initialize its
-    backend once a probe has succeeded. Budget ~40 min of outage
-    (12 x (120 s probe + 90 s pause)) before giving up loudly."""
+    backend once a probe has succeeded. The probe must include a COMPILE:
+    round 4 observed half-up windows where ``jax.devices()`` returns
+    quickly but every compile RPC hangs indefinitely — a devices-only
+    probe green-lights a run that then sits forever in its first warmup.
+    Budget ~1.3 h of outage before giving up loudly."""
     import subprocess
     import sys
 
     for i in range(attempts):
         try:
             subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax; jax.jit(lambda x: x + 1)(1.0)",
+                ],
                 timeout=probe_timeout_s,
                 check=True,
                 stdout=subprocess.DEVNULL,
