@@ -274,24 +274,36 @@ def run(only=None):
             spec, arrays = lower.lower(**kw)
             arrays = jax.device_put(arrays)
             batch.run_batch(spec, arrays, N_SIMS, 1, chunk_size=N_SIMS)  # warmup
+            ctl_pre = _control_ms()  # bracket BEFORE the timed reps
             times = []
             for r in range(REPEATS):
                 t0 = time.perf_counter()
                 batch.run_batch(spec, arrays, N_SIMS, 2137 + r, chunk_size=N_SIMS)
                 times.append(time.perf_counter() - t0)
             med = statistics.median(times)
-            ctl_ms = _control_ms()  # same-window bracket
+            ctl_post = _control_ms()  # ... and AFTER
+            # Two-sided bracketing (round 5): a 2 s arm and a single ~27 ms
+            # control do not share a window when the tunnel speed moves
+            # mid-arm — round 4 measured a 1.50x ctl-normalized swing on an
+            # UNTOUCHED slow arm from exactly this. The ratio uses the mean
+            # of the pre/post controls, and the spread is stored so a gate
+            # hit on a drifting window is distinguishable from a real
+            # regression (drift_pct > gate margin => rerun, don't bisect).
+            ctl_ms = 0.5 * (ctl_pre + ctl_post)
+            drift = abs(ctl_post - ctl_pre) / ctl_ms * 100.0
             fits = N_SIMS * len(spec.grid)
             fps = round(fits / med, 1)
             results[name] = {
                 "fits_per_s": fps,
                 "control_ms": round(ctl_ms, 3),
+                "control_drift_pct": round(drift, 1),
                 # fits per control-op-time: the session-speed-free metric
                 "ratio": round(fps * ctl_ms / 1e3, 2),
             }
             print(
                 f"{name:16s} {fps:>12,.0f} fits/sec  ({med*1e3:8.1f} ms, "
-                f"ctl {ctl_ms:6.2f} ms, ratio {results[name]['ratio']:10,.1f})",
+                f"ctl {ctl_ms:6.2f} ms +-{drift:4.1f}%, "
+                f"ratio {results[name]['ratio']:10,.1f})",
                 flush=True,  # progress must be visible through a redirect
             )
         except Exception as e:  # noqa: BLE001 — keep the grid running
@@ -332,9 +344,14 @@ def main():
         with open(BASELINE_PATH) as f:
             baseline = json.load(f)
         worst = None
+        unbaselined = []
         for name, rec in ok.items():
             b = baseline.get(name)
             if not isinstance(b, dict) or not b.get("ratio"):
+                # FAIL-CLOSED (round 5): a measured arm with no dict-format
+                # baseline entry means the gate cannot fire for it — round 4
+                # shipped exactly that state silently (VERDICT weak #8).
+                unbaselined.append(name)
                 continue
             # the GATE runs on the control-normalized ratio (tunnel noise
             # cancels); raw fits/s is printed above for human reading
@@ -342,7 +359,13 @@ def main():
             flag = "  <-- REGRESSION" if ratio < 0.9 else ""
             print(f"{name:16s} vs baseline: {ratio:6.2f}x (ctl-normalized){flag}")
             worst = min(worst or ratio, ratio)
-        if failed or (worst is not None and worst < 0.9 and not only):
+        if unbaselined:
+            print(
+                f"GATE ERROR: no ratio-format baseline entry for "
+                f"{sorted(unbaselined)} — refreeze with --save-baseline"
+                + (f" --arms {','.join(sorted(unbaselined))}" if only else "")
+            )
+        if failed or unbaselined or (worst is not None and worst < 0.9 and not only):
             sys.exit(1)
     else:
         print("(no baseline; run with --save-baseline to freeze)")

@@ -56,6 +56,10 @@ _MAX_BODY = 64 * 1024 * 1024  # uploaded CSV columns ride inside the doc
 # (ports/wasm/src/index.ts); here the equivalent unit is one chip per part.
 _SLOTS: Optional["queue.Queue"] = None
 _SLOTS_INIT = threading.Lock()
+# Longest a part request queues for a device before 503: long enough to ride
+# out a typical engine run ahead of it, short enough that abandoned clients
+# don't claim chips minutes later.
+_SLOT_WAIT_S = 120.0
 
 
 def _device_slots() -> "queue.Queue":
@@ -194,7 +198,17 @@ class _Handler(BaseHTTPRequestHandler):
             if verb == "run" and "sample_size" not in body:
                 raise AppSpecError("$.sample_size", "required field missing")
             slots = _device_slots()
-            dev = slots.get()  # blocks while every device is busy
+            # Bounded wait: a client that gave up must not consume a chip
+            # later when its handler thread finally wins a slot — saturation
+            # past the wait window is the pool's signal to retry/back off.
+            try:
+                dev = slots.get(timeout=_SLOT_WAIT_S)
+            except queue.Empty:
+                self._send(
+                    503,
+                    {"error": {"message": "all devices busy; retry later"}},
+                )
+                return
             try:
                 import jax
 

@@ -37,6 +37,9 @@ from .specbuilder.testsel import overall_test_available, resolve_tests
 from .specbuilder.variables import VariableRegistry
 
 _FAMILIES = ("ols", "logit", "probit", "poisson", "lme")
+# Accepted spellings for the continuous-outcome family: the AppSpec layer
+# tags it "linear" and R users reach for "gaussian"; all map to "ols".
+_FAMILY_ALIASES = {"gaussian": "ols", "linear": "ols"}
 _ESTIMATORS = ("ols", "glm", "mle")
 
 
@@ -52,6 +55,7 @@ class MCPower:
         solve_as: Optional[str] = None,
     ) -> None:
         family = str(family).lower()
+        family = _FAMILY_ALIASES.get(family, family)
         if family not in _FAMILIES:
             raise ValueError(f"family must be one of {_FAMILIES}, got {family!r}")
         self.family = family

@@ -363,11 +363,16 @@ def test_per_part_device_assignment(server_url):
     # provenance is reported per part, and is a real local device
     dev_names = {str(d) for d in jax.local_devices()}
     assert first["host"]["device"] in dev_names
-    assert first["host"]["platform"] == "cpu"  # the suite's virtual mesh
+    # platform matches whatever topology the suite runs under (the conftest
+    # virtual mesh is cpu; a real TPU host would report tpu)
+    assert first["host"]["platform"] == jax.local_devices()[0].platform
 
     slots = serve_mod._device_slots()
-    assert slots.qsize() == len(jax.local_devices()) == 8
-    held = [slots.get() for _ in range(7)]  # leave exactly one slot free
+    n_dev = len(jax.local_devices())
+    assert slots.qsize() == n_dev
+    if n_dev < 2:
+        pytest.skip("single-device topology: no free-slot routing to test")
+    held = [slots.get() for _ in range(n_dev - 1)]  # leave one slot free
     try:
         free = {str(d) for d in list(slots.queue)}
         assert len(free) == 1
