@@ -177,8 +177,13 @@ def _extras_glmm_grid_stats(
     from . import optim
     from .mixedfit import (
         _build_joint_z,
+        _cap_factor_q1,
+        _cap_logdet_q1,
+        _cap_solve_cols_q1,
+        _extras_scale_q1,
         _grouping_plan,
         _lam_all,
+        _plan_all_q1,
         _theta_layout,
         _vech_to_lower,
     )
@@ -202,9 +207,95 @@ def _extras_glmm_grid_stats(
     else:
         beta0 = jnp.zeros(pf, jnp.float64)
     v0 = jnp.zeros(M, jnp.float64)
+    all_q1 = _plan_all_q1(plan)
+    m1 = plan[0][0]
 
     def per_grid(n):
         mask = (rows < n).astype(jnp.float64)
+
+        def _pirls_q1_arrs(Xq, yq, Zq, maskq, eyepq):
+            """Structured-capacitance PIRLS for all-intercept-only plans
+            (q_g == 1 everywhere): Lam = diag(d), each grouping's diagonal
+            block of Z'WZ is diagonal, so the M x M solve collapses to
+            elementwise primary-block ops + one extras-sized Schur chol
+            (mixedfit._cap_factor_q1). One instance per dtype (f32 search
+            twin / f64 final)."""
+            dt = Xq.dtype
+
+            def parts_of(lvec):
+                l1 = lvec[0]
+                dE = _extras_scale_q1(lvec, plan)
+                return l1, dE, jnp.concatenate([jnp.full((m1,), l1, dt), dE])
+
+            def step_quants(l1, dE, dfull, beta, v):
+                eta = smallchol.rowmv(Xq, beta) + Zq @ (dfull * v)
+                mu, var, dmu = mu_var_dmu(eta)
+                w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * maskq
+                wZ = Zq * w[:, None]
+                G = Zq.T @ wZ
+                fac = _cap_factor_q1(
+                    l1, dE, jnp.diagonal(G[:m1, :m1]), G[:m1, m1:],
+                    G[m1:, m1:],
+                )
+                return eta, mu, dmu, w, wZ, fac
+
+            def loop(lvec, beta, v, iters):
+                l1, dE, dfull = parts_of(lvec.astype(dt))
+
+                def body(_, carry):
+                    beta, v = carry
+                    eta, mu, dmu, w, wZ, (a, Cpe, cholS) = step_quants(
+                        l1, dE, dfull, beta, v
+                    )
+                    z = eta + (yq - mu) / dmu
+                    At = dfull[:, None] * (wZ.T @ Xq)
+                    bt = dfull * (wZ.T @ z)
+                    xp, xe = _cap_solve_cols_q1(
+                        a, Cpe, cholS,
+                        jnp.concatenate([bt[:m1, None], At[:m1]], axis=1),
+                        jnp.concatenate([bt[m1:, None], At[m1:]], axis=1),
+                        pf + 1,
+                    )
+                    sol_b = jnp.concatenate([xp[..., 0], xe[..., 0]])
+                    sol_A = jnp.concatenate(
+                        [xp[..., 1:], xe[..., 1:]], axis=0
+                    )
+                    a_xx = smallchol.crossprod(Xq, w) - At.T @ sol_A + eyepq
+                    a_xy = smallchol.colsum(Xq, w * z) - At.T @ sol_b
+                    cholP = smallchol.chol(a_xx)
+                    beta_new = smallchol.cho_solve(cholP, a_xy)
+                    v_new = sol_b - sol_A @ beta_new
+                    ok = jnp.all(jnp.isfinite(beta_new)) & jnp.all(
+                        jnp.isfinite(v_new)
+                    )
+                    return (
+                        jnp.where(ok, beta_new, beta),
+                        jnp.where(ok, v_new, v),
+                    )
+
+                return jax.lax.fori_loop(0, iters, body, (beta, v))
+
+            def mode(lvec, beta, v, want_schur):
+                l1, dE, dfull = parts_of(lvec.astype(dt))
+                eta, mu, dmu, w, wZ, (a, Cpe, cholS) = step_quants(
+                    l1, dE, dfull, beta, v
+                )
+                lap = (
+                    _deviance(spec.outcome, yq, mu, maskq)
+                    + jnp.sum(v * v)
+                    + _cap_logdet_q1(a, cholS)
+                )
+                if not want_schur:
+                    return lap, None
+                At = dfull[:, None] * (wZ.T @ Xq)
+                xpA, xeA = _cap_solve_cols_q1(
+                    a, Cpe, cholS, At[:m1], At[m1:], pf
+                )
+                sol_A = jnp.concatenate([xpA, xeA], axis=0)
+                a_xx = smallchol.crossprod(Xq, w) - At.T @ sol_A + eyepq
+                return lap, a_xx
+
+            return loop, mode
 
         def pirls(Lam, beta, v, iters, want_schur=True):
             def body(_, carry):
@@ -334,15 +425,31 @@ def _extras_glmm_grid_stats(
                 + smallchol.logdet_from_chol(smallchol.chol_vec(C))
             )
 
-        def search_eval(theta, carry, iters):
-            Lam = _lam_all(theta, plan, sizes, M)
-            Lam32 = Lam.astype(f32)
-            beta32, v32 = pirls_loop32(Lam32, carry[0], carry[1], iters)
-            lap = dev32_at(Lam32, beta32, v32).astype(jnp.float64)
-            return (
-                jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
-                (beta32, v32),
-            )
+        if all_q1:
+            loop64, mode64 = _pirls_q1_arrs(Xf, yf, Z, mask, eye_p)
+            loop32, mode32 = _pirls_q1_arrs(Xf32, yf32, Z32, mask32, eye_p32)
+
+            def search_eval(theta, carry, iters):
+                th = theta.astype(f32)
+                beta32, v32 = loop32(th, carry[0], carry[1], iters)
+                lap, _ = mode32(th, beta32, v32, False)
+                lap = lap.astype(jnp.float64)
+                return (
+                    jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
+                    (beta32, v32),
+                )
+
+        else:
+
+            def search_eval(theta, carry, iters):
+                Lam = _lam_all(theta, plan, sizes, M)
+                Lam32 = Lam.astype(f32)
+                beta32, v32 = pirls_loop32(Lam32, carry[0], carry[1], iters)
+                lap = dev32_at(Lam32, beta32, v32).astype(jnp.float64)
+                return (
+                    jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30)),
+                    (beta32, v32),
+                )
 
         # Blocked-column kernels at every site (the measured scalar-lane
         # twin compiled for >45 min on both backends — reverted; see the
@@ -361,7 +468,11 @@ def _extras_glmm_grid_stats(
             dynamic_budget=True,
         )
         Lam = _lam_all(theta_hat, plan, sizes, M)
-        beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)
+        if all_q1:
+            beta, v = loop64(theta_hat, beta0, v0, N_PIRLS)
+            lap, a_xx = mode64(theta_hat, beta, v, True)
+        else:
+            beta, v, lap, a_xx = pirls(Lam, beta0, v0, N_PIRLS)
         cholP = smallchol.chol(a_xx)
         cov = smallchol.cho_inverse(cholP)
         if spec.wald_se == "hessian":
@@ -872,9 +983,13 @@ def _intercept_glmm_grid_stats(
         # e^{-x^2}); nagq == 1 degenerates to the Laplace objective.
         nagq = max(int(spec.nagq), 1)
         if nagq > 1:
-            gh_x, gh_w = np.polynomial.hermite.hermgauss(nagq)
-            gh_x = jnp.asarray(gh_x, jnp.float64)
-            log_gh_w = jnp.asarray(np.log(gh_w), jnp.float64)
+            gh_x_np, gh_w_np = np.polynomial.hermite.hermgauss(nagq)
+            gh_x = jnp.asarray(gh_x_np, jnp.float64)
+            log_gh_w = jnp.asarray(np.log(gh_w_np), jnp.float64)
+            # center node (x = 0 for odd nagq): the hybrid search deviance
+            # anchors its f64 base here and measures every other node as an
+            # f32 DELTA against it.
+            gh_k0 = int(np.argmin(np.abs(gh_x_np)))
 
         def agq_deviance(tau2, beta, u, w, W_i, mask_local):
             """-2 sum_i log of the adaptive-GH integral at the mode u_i.
@@ -899,6 +1014,72 @@ def _intercept_glmm_grid_stats(
             )
             return -2.0 * jnp.sum(jnp.where(active, log_int, 0.0))
 
+        def agq_deviance_hybrid(tau2, beta, u, W_i, mask_local):
+            """Search-phase AGQ deviance: f64 center-node base + f32 node
+            deltas.
+
+            What held glmm_agq7 ~11x under glmm_base after round 4's f32
+            PIRLS twin was the remaining per-evaluation f64 (nagq, n)
+            log-likelihood sweep (TPU f64 is double-double emulation; the
+            Laplace arm pays ONE f64 (n,) tail pass per eval, AGQ paid
+            nagq of them). The full-precision sweep is only needed for
+            RESOLUTION, and resolution survives a split:
+
+                log_int_i = s0_i + log sum_k exp(Delta_ki)
+
+            with s0_i (center node: weight + conditional loglik + prior,
+            all f64 — one (n,) pass, the same cost the Laplace arm pays)
+            and Delta_ki = (node k) - (node k0) accumulated from PER-ROW
+            f32 differences: each row's delta is O(0.1-1), so the f32
+            segment sums carry ~1e-6 absolute error into a logsumexp of
+            O(1) arguments — f64-grade deviance at f32 sweep cost. The
+            k0 lane is exactly 0 by construction. Final fit, boundary
+            probe, and accepted-optimum deviance stay on the full-f64
+            ``agq_deviance`` (tests/test_agq.py parity unchanged)."""
+            f32 = jnp.float32
+            inv_tau2 = 1.0 / jnp.maximum(tau2, 1e-12)
+            sigma_i = 1.0 / jnp.sqrt(W_i + inv_tau2)  # (m,) f64
+            eta_c = smallchol.rowmv(Xf, beta) + urow(u)  # center eta, f64
+            ll_c_rows = _loglik_rows(spec.outcome, spec.link, yf, eta_c)
+            ll_c_sum = jnp.sum(ll_c_rows * mask_local)  # f64, one pass
+            prior_c = -0.5 * (u * u) * inv_tau2 - 0.5 * (
+                jnp.log(jnp.maximum(tau2, 1e-12)) + _LOG_2PI
+            )
+            s0 = (
+                log_gh_w[gh_k0]
+                + gh_x[gh_k0] ** 2
+                + prior_c
+                + jnp.log(jnp.sqrt(2.0) * sigma_i)
+            )  # (m,) — ll_c enters via the separable total below
+            # f32 delta sweep over nodes
+            eta_c32 = eta_c.astype(f32)
+            y32 = yf.astype(f32)
+            m32 = mask_local.astype(f32)
+            shift = (jnp.sqrt(2.0) * sigma_i).astype(f32)[None, :] * gh_x.astype(
+                f32
+            )[:, None]  # (nodes, m): u_k - u
+            eta_k32 = eta_c32[None, :] + clusterops.per_row(
+                spec, shift, max_n
+            )
+            dll_rows = _loglik_rows(
+                spec.outcome, spec.link, y32[None, :], eta_k32
+            ) - _loglik_rows(spec.outcome, spec.link, y32, eta_c32)[None, :]
+            dll_i = seg(dll_rows * m32[None, :])  # (nodes, m) f32
+            u32 = u.astype(f32)
+            uk32 = u32[None, :] + shift
+            inv_t32 = jnp.asarray(inv_tau2, f32)
+            dprior = -0.5 * (uk32 * uk32 - u32[None, :] ** 2) * inv_t32
+            dw = (log_gh_w + gh_x**2 - log_gh_w[gh_k0] - gh_x[gh_k0] ** 2).astype(
+                f32
+            )
+            delta = dw[:, None] + dll_i + dprior  # (nodes, m); k0 lane == 0
+            lse = jax.scipy.special.logsumexp(delta, axis=0).astype(
+                jnp.float64
+            )
+            return -2.0 * (
+                jnp.sum(jnp.where(active, s0 + lse, 0.0)) + ll_c_sum
+            )
+
         def dev_at(log_tau2, beta, u, iters=N_PIRLS_WARM):
             tau2 = jnp.exp(log_tau2)
             beta2, u2, w2, W2, lap = pirls(tau2, beta, u, iters)
@@ -922,11 +1103,10 @@ def _intercept_glmm_grid_stats(
             tau2 = jnp.exp(log_tau2)
             beta2, u2, w2, W2, lap = pirls32(tau2, beta, u, iters)
             if nagq > 1:
-                lap = agq_deviance(
+                lap = agq_deviance_hybrid(
                     tau2,
                     beta2.astype(jnp.float64),
                     u2.astype(jnp.float64),
-                    w2,
                     W2,
                     mask,
                 )

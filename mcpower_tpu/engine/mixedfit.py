@@ -383,24 +383,70 @@ def _slope_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
     lower = jnp.asarray(lower, jnp.float64)
 
     def per_grid(G, A, b, n_j, xtx, xty, yty, n):
-        def dev_at(theta):
-            Lam = _vech_to_lower(theta, q)
-            dev, *_ = _reml_quantities_q(Lam, G, A, b, xtx, xty, yty, n, pf, q)
-            return jnp.where(jnp.isfinite(dev), dev, jnp.float64(1e30))
+        # Mixed-precision theta search (round 5 — the joint-Z extras path's
+        # proven plan, mixedfit._joint_grid_stats): the NM candidate
+        # rankings are pure per-cluster q x q algebra that TPU f64
+        # EMULATES op-by-op; the search ranks on f32 suff-stat twins and
+        # only the accepted theta is refit in f64 (an f32-resolved theta
+        # is ~1e-3 off the f64 optimum — inside the variance-component
+        # parity band, while beta/cov/sigma2 come from the f64 refit).
+        f32 = jnp.float32
+        ss32 = tuple(
+            a.astype(f32) for a in (G, A, b, xtx, xty, yty)
+        )
+        n32 = n.astype(f32)
+
+        def dev_at32(theta):
+            Lam = _vech_to_lower(theta.astype(f32), q)
+            dev, *_ = _reml_quantities_q(Lam, *ss32, n32, pf, q)
+            return jnp.where(jnp.isfinite(dev), dev, f32(1e30)).astype(
+                jnp.float64
+            )
 
         theta_hat, _ = optim.nelder_mead(
-            dev_at, theta0_j, iters=140, init_step=0.3, lower=lower
+            dev_at32, theta0_j, iters=140, init_step=0.3, lower=lower
         )
-        Lam = _vech_to_lower(theta_hat, q)
+
+        def dev_at64(theta):
+            Lam = _vech_to_lower(theta, q)
+            dev, *_ = _reml_quantities_q(
+                Lam, G, A, b, xtx, xty, yty, n, pf, q
+            )
+            return jnp.where(jnp.isfinite(dev), dev, jnp.float64(1e30))
+
+        # Per-component boundary pinning by explicit f64 ZERO PROBES, the
+        # slope-path twin of the intercept path's gamma = 0 re-decision:
+        # the f32-ranked search cannot resolve the near-flat deviance of a
+        # truly-null component (theta parks O(1e-2) off the floor, so a
+        # diag threshold misses the pin — round-5 regression caught by
+        # test_pinned_component_rates_null_slope_variance). Zeroing chol
+        # COLUMN j removes component j entirely; if that costs no
+        # deviance, the component is pinned, and pinned columns are zeroed
+        # for the final f64 refit (so tau2_hat/cov reflect the pin).
+        dev_hat = dev_at64(theta_hat)
+        col_zero = []
+        for j in range(q):
+            mask = np.ones(d_theta)
+            off = sum(q - c for c in range(j))
+            mask[off : off + (q - j)] = 0.0
+            col_zero.append(jnp.asarray(mask, jnp.float64))
+        probes = jnp.stack(
+            [dev_at64(theta_hat * cz) for cz in col_zero]
+        )  # (q,)
+        pinned = probes <= dev_hat + 1e-10
+        keep = jnp.ones(d_theta, jnp.float64)
+        for j in range(q):
+            keep = keep * jnp.where(pinned[j], col_zero[j], 1.0)
+        theta_fin = theta_hat * keep
+
+        Lam = _vech_to_lower(theta_fin, q)
         dev, beta, chol, sigma2 = _reml_quantities_q(
             Lam, G, A, b, xtx, xty, yty, n, pf, q
         )
         cov = sigma2 * smallchol.cho_inverse(chol)
-        diag = jnp.diagonal(Lam)
-        # Per-component boundary pinning, order [intercept, slope_0, ...] —
-        # the reference's pinned_components u64 bitmask (spec.rs:562-573),
-        # kept unpacked so the generic bool count reduction sums per bit.
-        pinned = diag < 1e-4
+        # order [intercept, slope_0, ...] — the reference's
+        # pinned_components u64 bitmask (spec.rs:562-573), kept unpacked so
+        # the generic bool count reduction sums per bit.
         boundary = jnp.any(pinned)
         Gamma = Lam @ Lam.T
         tau2_hat = Gamma[0, 0] * sigma2
@@ -572,6 +618,104 @@ def _reml_quantities_joint(Lam, ztz, ztx, zty, xtx, xty, yty, n, p):
     return dev, beta, chol, sigma2
 
 
+def _plan_all_q1(plan) -> bool:
+    """True when every grouping is intercept-only (q_g == 1) — the random
+    intercepts + crossed/nested intercepts regime (the common case and the
+    frozen-grid extras arms)."""
+    return all(q == 1 for _, q, _, _, _ in plan)
+
+
+def _extras_scale_q1(lvec, plan):
+    """Per-column scale of the EXTRAS block: lvec[g] repeated m_g times.
+
+    For all-q1 plans Lam = diag(d) with d = [lvec[0]]*m_1 ++ extras scales,
+    so the whole dense-Lam algebra reduces to column/row scalings."""
+    return jnp.concatenate(
+        [
+            lvec[g + 1] * jnp.ones(n_lv, lvec.dtype)
+            for g, (n_lv, _, _, _, _) in enumerate(plan[1:])
+        ]
+    )
+
+
+def _cap_factor_q1(l1, dE, gpp, Gpe, Gee):
+    """Block factorization of C = I + diag(d) G diag(d) for all-q1 plans.
+
+    Exploits the one-hot structure the dense path ignores: each grouping's
+    diagonal block of G = Z'Z (or Z'WZ) is DIAGONAL (every row hits exactly
+    one level), so with Lam = diag(d) the capacitance
+
+        C = [[diag(a),  Cpe], [Cpe',  Cee]]
+
+    factors by block elimination — elementwise ops on the primary block
+    (size m_1) plus ONE Cholesky of the extras-sized Schur complement
+    S = Cee - Cpe' diag(1/a) Cpe (size Me = sum extras levels, ~10, inside
+    the scalar-unroll width). Replaces the M x M blocked chol_vec + blocked
+    substitutions (M ~ 30, ~30 sequential fused steps per evaluation) the
+    dense path pays; summation order differs, so parity is to rounding
+    (tolerance-tested like the rest of the joint-Z family).
+
+    ``gpp`` is diag(G_PP) (m1,), ``Gpe`` (m1, Me), ``Gee`` (Me, Me).
+    Returns (a, Cpe, cholS).
+    """
+    a = 1.0 + (l1 * l1) * gpp  # (m1,)
+    Cpe = l1 * Gpe * dE[None, :]  # (m1, Me)
+    Me = Gee.shape[-1]
+    Cee = jnp.eye(Me, dtype=Gee.dtype) + (dE[:, None] * dE[None, :]) * Gee
+    S = Cee - Cpe.T @ (Cpe / a[:, None])
+    return a, Cpe, smallchol.chol(S)
+
+
+def _cap_solve_cols_q1(a, Cpe, cholS, rp, re, ncols: int):
+    """Solve C [x] = [rp; re] for an (.., p+1)-column RHS via the block
+    factorization above. ncols is static (p+1 small unrolled solves)."""
+    rp_a = rp / a[:, None]
+    t = re - Cpe.T @ rp_a
+    xe = jnp.stack(
+        [smallchol.cho_solve(cholS, t[..., :, j]) for j in range(ncols)],
+        axis=-1,
+    )
+    xp = rp_a - (Cpe @ xe) / a[:, None]
+    return xp, xe
+
+
+def _cap_logdet_q1(a, cholS):
+    return jnp.sum(jnp.log(a)) + smallchol.logdet_from_chol(cholS)
+
+
+def _reml_quantities_joint_q1(lvec, plan, ztz, ztx, zty, xtx, xty, yty, n, p):
+    """Structured profile-REML at one cell for all-intercept-only plans
+    (see _cap_factor_q1 for the factorization this rides)."""
+    m1 = plan[0][0]
+    l1 = lvec[0]
+    dE = _extras_scale_q1(lvec, plan)
+    a, Cpe, cholS = _cap_factor_q1(
+        l1, dE, jnp.diagonal(ztz[:m1, :m1]), ztz[:m1, m1:], ztz[m1:, m1:]
+    )
+    # rhs [bt | At] split by block: bt = d * zty, At = d[:, None] * ztx
+    rp = jnp.concatenate([(l1 * zty[:m1])[:, None], l1 * ztx[:m1]], axis=1)
+    re = jnp.concatenate(
+        [(dE * zty[m1:])[:, None], dE[:, None] * ztx[m1:]], axis=1
+    )  # (Me, p+1)
+    xp, xe = _cap_solve_cols_q1(a, Cpe, cholS, rp, re, p + 1)
+    sol_b = jnp.concatenate([xp[..., 0], xe[..., 0]])
+    sol_A = jnp.concatenate([xp[..., 1:], xe[..., 1:]], axis=0)  # (M, p)
+    At_full = jnp.concatenate([l1 * ztx[:m1], dE[:, None] * ztx[m1:]], axis=0)
+    bt_full = jnp.concatenate([l1 * zty[:m1], dE * zty[m1:]])
+    a_xx = xtx - At_full.T @ sol_A
+    a_xy = xty - At_full.T @ sol_b
+    a_yy = yty - bt_full @ sol_b
+    chol = smallchol.chol(a_xx)
+    beta = smallchol.cho_solve(chol, a_xy)
+    rss = a_yy - beta @ a_xy
+    df = n - p
+    sigma2 = rss / df
+    logdet_v = _cap_logdet_q1(a, cholS)
+    logdet_xvx = smallchol.logdet_from_chol(chol)
+    dev = logdet_v + logdet_xvx + df * jnp.log(rss)
+    return dev, beta, chol, sigma2
+
+
 def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndarray]:
     from . import optim
 
@@ -587,15 +731,9 @@ def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
     sizes, theta0, lower = _theta_layout(plan)
     ns = jnp.asarray(spec.grid, dtype=jnp.float64)
     q1 = plan[0][1]
+    all_q1 = _plan_all_q1(plan)
 
     def per_grid(ztz, ztx, zty, xtx, xty, yty, n):
-        def dev_at(theta):
-            Lam = _lam_all(theta, plan, sizes, M)
-            dev, *_ = _reml_quantities_joint(
-                Lam, ztz, ztx, zty, xtx, xty, yty, n, pf
-            )
-            return jnp.where(jnp.isfinite(dev), dev, jnp.float64(1e30))
-
         # Mixed-precision theta search (the engine's established pattern,
         # cf. the GLMM f32 PIRLS twins): the NM evaluations are pure dense
         # M x M algebra, and in f64 v5e EMULATES every op — measured 43.7
@@ -609,26 +747,45 @@ def _joint_grid_stats(spec: SimSpec, arr: Dict, X, y, ids) -> Dict[str, jnp.ndar
         ss32 = tuple(a.astype(f32) for a in (ztz, ztx, zty, xtx, xty, yty))
         n32 = n.astype(f32)
 
-        def dev_at32(theta):
-            Lam = _lam_all(theta.astype(f32), plan, sizes, M)
-            dev, *_ = _reml_quantities_joint(Lam, *ss32, n32, pf)
-            return jnp.where(jnp.isfinite(dev), dev, f32(1e30)).astype(
-                jnp.float64
-            )
+        if all_q1:
+            # Structured capacitance (round 5): intercept-only plans skip
+            # the dense Lam build and the M x M blocked chol entirely —
+            # see _reml_quantities_joint_q1.
+            def dev_at32(theta):
+                dev, *_ = _reml_quantities_joint_q1(
+                    theta.astype(f32), plan, *ss32, n32, pf
+                )
+                return jnp.where(jnp.isfinite(dev), dev, f32(1e30)).astype(
+                    jnp.float64
+                )
 
-        # Blocked-column kernels at BOTH NM sites. Two measured-and-rejected
-        # alternatives: the scalar-lane twin in the body (one instance via
-        # f_init, 3.5 MB StableHLO) took >45 min to compile on BOTH backends
-        # (XLA:CPU and the TPU compile helper); the round-3 per-column DUS
-        # twins copied the full M x M accumulator O(M) times per evaluation
-        # inside the NM loop body. See ARCHITECTURE.md round-3/4 notes.
+        else:
+            # Blocked-column kernels at BOTH NM sites. Two measured-and-
+            # rejected alternatives: the scalar-lane twin in the body (one
+            # instance via f_init, 3.5 MB StableHLO) took >45 min to compile
+            # on BOTH backends (XLA:CPU and the TPU compile helper); the
+            # round-3 per-column DUS twins copied the full M x M accumulator
+            # O(M) times per evaluation inside the NM loop body. See
+            # ARCHITECTURE.md round-3/4 notes.
+            def dev_at32(theta):
+                Lam = _lam_all(theta.astype(f32), plan, sizes, M)
+                dev, *_ = _reml_quantities_joint(Lam, *ss32, n32, pf)
+                return jnp.where(jnp.isfinite(dev), dev, f32(1e30)).astype(
+                    jnp.float64
+                )
+
         theta_hat, _ = optim.nelder_mead(
             dev_at32, theta0, iters=140, init_step=0.3, lower=lower,
         )
-        Lam = _lam_all(theta_hat, plan, sizes, M)
-        dev, beta, chol, sigma2 = _reml_quantities_joint(
-            Lam, ztz, ztx, zty, xtx, xty, yty, n, pf
-        )
+        if all_q1:
+            dev, beta, chol, sigma2 = _reml_quantities_joint_q1(
+                theta_hat, plan, ztz, ztx, zty, xtx, xty, yty, n, pf
+            )
+        else:
+            Lam = _lam_all(theta_hat, plan, sizes, M)
+            dev, beta, chol, sigma2 = _reml_quantities_joint(
+                Lam, ztz, ztx, zty, xtx, xty, yty, n, pf
+            )
         cov = sigma2 * smallchol.cho_inverse(chol)
         Lam1 = _vech_to_lower(theta_hat[: sizes[0]], q1)
         tau2_hat = (Lam1 @ Lam1.T)[0, 0] * sigma2
