@@ -87,6 +87,7 @@ def cmd_run(args) -> int:
         n_sims=int(args.n_sims),
         base_seed=int(args.seed),
         sim_id_offset=int(args.sim_offset),
+        progress=_progress_cb(args),
     )
     json.dump(out, _out_fh(args), indent=None if args.compact else 2)
     print(file=_out_fh(args))
@@ -112,6 +113,7 @@ def cmd_search(args) -> int:
         target_power=float(args.target_power),
         atom=atom,
         sim_id_offset=int(args.sim_offset),
+        progress=_progress_cb(args),
     )
     json.dump(out, _out_fh(args), indent=None if args.compact else 2)
     print(file=_out_fh(args))
@@ -164,7 +166,7 @@ def cmd_app_run(args) -> int:
 
     with open(args.file) as fh:
         doc = fh.read()
-    payload = run_find_power(doc, int(args.n))
+    payload = run_find_power(doc, int(args.n), progress=_progress_cb(args))
     json.dump(payload, _out_fh(args), indent=None if args.compact else 2)
     print(file=_out_fh(args))
     return 0
@@ -181,6 +183,7 @@ def cmd_app_search(args) -> int:
         from_size=getattr(args, "from") and int(getattr(args, "from")),
         to_size=args.to and int(args.to),
         by=args.by,
+        progress=_progress_cb(args),
     )
     json.dump(payload, _out_fh(args), indent=None if args.compact else 2)
     print(file=_out_fh(args))
@@ -205,6 +208,29 @@ def _out_fh(args):
     return args._fh
 
 
+def _progress_cb(args):
+    """--progress: machine-readable JSONL ticks on stderr, one per dispatch
+    chunk — the stream a second-language host (ports/r/mcpower.R) surfaces
+    while the result JSON rides --out/stdout untouched. The reference's R
+    bridge polls a shared progress cell from the main thread
+    (engine-r progress.rs); over a process boundary the equivalent is this
+    stderr event stream plus killing the worker (cancel)."""
+    if not getattr(args, "progress", False):
+        return None
+
+    def cb(done: int, total: int) -> bool:
+        print(
+            json.dumps(
+                {"event": "progress", "done": int(done), "total": int(total)}
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+        return True
+
+    return cb
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mcpower_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -223,6 +249,8 @@ def main(argv=None) -> int:
                         "ranges of one seed, pooled with the merge verb)")
     r.add_argument("--out", default=None)
     r.add_argument("--compact", action="store_true")
+    r.add_argument("--progress", action="store_true",
+              help="JSONL progress ticks on stderr")
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("search", help="sample-size search over a CRN grid")
@@ -238,6 +266,8 @@ def main(argv=None) -> int:
                    help="global sim-id range start (worker pools)")
     s.add_argument("--out", default=None)
     s.add_argument("--compact", action="store_true")
+    s.add_argument("--progress", action="store_true",
+              help="JSONL progress ticks on stderr")
     s.set_defaults(fn=cmd_search)
 
     mg = sub.add_parser(
@@ -255,6 +285,8 @@ def main(argv=None) -> int:
     ar.add_argument("--n", required=True, type=int, help="sample size")
     ar.add_argument("--out", default=None)
     ar.add_argument("--compact", action="store_true")
+    ar.add_argument("--progress", action="store_true",
+               help="JSONL progress ticks on stderr")
     ar.set_defaults(fn=cmd_app_run)
 
     asrch = sub.add_parser(
@@ -266,6 +298,8 @@ def main(argv=None) -> int:
     asrch.add_argument("--by", default=None)
     asrch.add_argument("--out", default=None)
     asrch.add_argument("--compact", action="store_true")
+    asrch.add_argument("--progress", action="store_true",
+                  help="JSONL progress ticks on stderr")
     asrch.set_defaults(fn=cmd_app_search)
 
     srv = sub.add_parser(

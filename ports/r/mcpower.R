@@ -80,6 +80,7 @@ mcp_spec <- function(outcome, predictors, effects,
                      cluster_level_vars = NULL,
                      scenarios = NULL,
                      wald_se = NULL, agq = NULL,
+                     posthoc = FALSE,
                      csv = NULL) {
   if (is.null(var_types)) {
     var_types <- lapply(predictors, function(p) {
@@ -139,6 +140,9 @@ mcp_spec <- function(outcome, predictors, effects,
   if (!is.null(scenarios)) spec$scenarios <- as.list(scenarios)
   if (!is.null(wald_se)) spec$wald_se <- wald_se
   if (!is.null(agq)) spec$agq <- agq
+  # all-pairwise factor contrasts (the reference app's posthoc editor;
+  # maps to the engine's "all-posthoc" target token)
+  if (isTRUE(posthoc)) spec$posthoc <- TRUE
   spec
 }
 
@@ -159,18 +163,49 @@ mcp_upload <- function(spec, df, mode = "partial") {
 
 # ---- CLI invocation ---------------------------------------------------------
 
-.mcp_call <- function(verb, spec, extra_args) {
+# Interruptible worker invocation (the reference R bridge's main-thread
+# progress poll + Ctrl-C -> CancellationToken, engine-r/src/progress.rs,
+# re-expressed over a process boundary): the python worker runs detached
+# with its PID captured; R polls a done-file in an interruptible
+# Sys.sleep loop, and an interrupt (Ctrl-C) kills the worker instead of
+# leaving it running. With progress = TRUE the worker's stderr JSONL
+# ticks ({"event":"progress","done":d,"total":t}, one per dispatch chunk)
+# pass straight through to the R console.
+.mcp_call <- function(verb, spec, extra_args, progress = FALSE) {
   spec_file <- tempfile(fileext = ".json")
   out_file <- tempfile(fileext = ".json")
-  on.exit(unlink(spec_file), add = TRUE)
+  pid_file <- tempfile()
+  done_file <- tempfile()
+  on.exit(unlink(c(spec_file, pid_file, done_file)), add = TRUE)
   writeLines(.mcp_json(spec), spec_file)
-  status <- system2(
-    mcp_python(),
-    c("-m", "mcpower_tpu", verb, spec_file, extra_args,
-      "--out", out_file, "--compact"),
-    stdout = FALSE, stderr = ""
-  )
-  if (status != 0) stop("mcpower_tpu ", verb, " failed (exit ", status, ")")
+  args <- c("-m", "mcpower_tpu", verb, spec_file, extra_args,
+            "--out", out_file, "--compact")
+  if (progress) args <- c(args, "--progress")
+  quoted <- paste(vapply(c(mcp_python(), args), shQuote, character(1)),
+                  collapse = " ")
+  # Background the worker to capture ITS pid ($!), wait on it, and record
+  # the exit status in the done-file the R loop polls.
+  wrapper <- paste0(quoted, " & echo $! > ", shQuote(pid_file),
+                    "; wait $!; echo $? > ", shQuote(done_file))
+  system2("sh", c("-c", shQuote(wrapper)), wait = FALSE,
+          stdout = FALSE, stderr = "")
+  status <- tryCatch({
+    while (!file.exists(done_file) ||
+           !length(readLines(done_file, warn = FALSE))) {
+      Sys.sleep(0.2)
+    }
+    as.integer(readLines(done_file, warn = FALSE)[1])
+  }, interrupt = function(cond) {
+    pid <- tryCatch(readLines(pid_file, warn = FALSE)[1],
+                    error = function(e) NULL)
+    if (!is.null(pid) && nzchar(pid)) {
+      system(paste("kill", pid), ignore.stderr = TRUE)
+    }
+    stop("mcpower_tpu ", verb, " interrupted; worker killed", call. = FALSE)
+  })
+  if (is.na(status) || status != 0) {
+    stop("mcpower_tpu ", verb, " failed (exit ", status, ")")
+  }
   raw <- paste(readLines(out_file, warn = FALSE), collapse = "\n")
   unlink(out_file)
   .mcp_payload(raw)
@@ -196,16 +231,20 @@ mcp_upload <- function(spec, df, mode = "partial") {
 }
 
 #' Power at a single sample size. Returns list(json, [parsed], [summary], ...).
-mcp_find_power <- function(spec, sample_size) {
-  .mcp_call("app-run", spec, c("--n", as.character(sample_size)))
+#' progress = TRUE streams per-chunk ticks to the console; Ctrl-C during a
+#' run kills the worker process (cooperative cancel between chunks).
+mcp_find_power <- function(spec, sample_size, progress = FALSE) {
+  .mcp_call("app-run", spec, c("--n", as.character(sample_size)),
+            progress = progress)
 }
 
-#' Sample-size search between from and to.
-mcp_find_sample_size <- function(spec, from = NULL, to = NULL) {
+#' Sample-size search between from and to (progress/Ctrl-C as above).
+mcp_find_sample_size <- function(spec, from = NULL, to = NULL,
+                                 progress = FALSE) {
   args <- character(0)
   if (!is.null(from)) args <- c(args, "--from", as.character(from))
   if (!is.null(to)) args <- c(args, "--to", as.character(to))
-  .mcp_call("app-search", spec, args)
+  .mcp_call("app-search", spec, args, progress = progress)
 }
 
 # ---- result helpers ---------------------------------------------------------

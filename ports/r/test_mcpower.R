@@ -88,6 +88,51 @@ golden_specs <- list(
     n_sims = 60, seed = 3,
     tests = list(kind = "effects", names = list("x1"))
   ),
+  scenarios_holm.json = mcp_spec(
+    outcome = "y", predictors = c("x1", "x2"),
+    effects = c(x1 = 0.35, x2 = 0.25),
+    correction = "holm",
+    scenarios = c("optimistic", "realistic", "doomer"),
+    n_sims = 80, seed = 11
+  ),
+  factor_posthoc.json = mcp_spec(
+    outcome = "y", predictors = c("g", "x1"),
+    effects = c("g[2]" = 0.4, "g[3]" = 0.25, x1 = 0.3),
+    var_types = list(
+      list(kind = "factor", name = "g", factor_n_levels = 3,
+           factor_proportions = c(0.4, 0.3, 0.3), factor_reference = 0),
+      list(kind = "numeric", name = "x1")
+    ),
+    posthoc = TRUE,
+    n_sims = 80, seed = 5
+  ),
+  corr_binary.json = mcp_spec(
+    outcome = "y", predictors = c("x1", "x2", "x3"),
+    effects = c(x1 = 0.3, x2 = 0.2, x3 = 0.2),
+    var_types = list(
+      list(kind = "numeric", name = "x1"),
+      list(kind = "binary", name = "x2", binary_proportion = 0.4),
+      list(kind = "numeric", name = "x3")
+    ),
+    correlations = list(names = list("x1", "x3"),
+                        values = list(c(1, 0.3), c(0.3, 1))),
+    n_sims = 80, seed = 13
+  ),
+  mixed_agq_hessian.json = mcp_spec(
+    outcome = "y", predictors = "x1", effects = c(x1 = 0.35),
+    family = "mixed", cluster_name = "site", icc = 0.15, n_clusters = 16,
+    mixed_outcome = list(kind = "binary", baseline_probability = 0.25,
+                         link = "logit"),
+    wald_se = "hessian", agq = 7,
+    n_sims = 60, seed = 9
+  ),
+  poisson_rate.json = mcp_spec(
+    outcome = "y", predictors = c("x1", "x2"),
+    effects = c(x1 = 0.2, x2 = 0.15),
+    family = "poisson", baseline_rate = 1.5,
+    scenarios = c("optimistic", "realistic"),
+    n_sims = 80, seed = 21
+  ),
   upload_partial.json = mcp_upload(
     mcp_spec(
       outcome = "y", predictors = c("x1", "x2"),
@@ -130,5 +175,11 @@ mres <- mcp_find_power(golden_specs[["mixed_intercept.json"]], 120)
 expect_true(grepl('"uncorrected"', mres$json), "mixed payload carries power")
 expect_true(grepl("MCPower", mres$json), "mixed payload carries the report")
 mcp_summary(mres)
+
+# 6. progress-streamed run completes through the interruptible worker path
+# (the JSONL ticks appear on stderr; the payload is unchanged)
+pres <- mcp_find_power(spec, 150, progress = TRUE)
+expect_true(identical(pres$json, res$json),
+            "progress-streamed run returns the identical payload")
 
 cat("ALL R HOST CHECKS PASSED\n")
