@@ -736,44 +736,57 @@ def _slope_glmm_grid_stats(
 
             return loop, pirls
 
-        _, pirls = make_pirls(jnp.float64)
+        loop64, pirls = make_pirls(jnp.float64)
         loop32, _ = make_pirls(jnp.float32)
         v0 = jnp.zeros((m, q), jnp.float64)
         v0_32 = jnp.zeros((m, q), jnp.float32)
         beta0_32 = beta0.astype(jnp.float32)
 
-        # Search-phase evaluator: f32 PIRLS state from the CARRIED mode,
-        # f64 deviance from the final state (comparisons stay f64, as on
-        # the intercept path), but WITHOUT the (m,q,p) Schur-block work —
-        # the search only consumes the deviance, so At/sol_A/a_xx (the
-        # most expensive per-eval contractions after the PIRLS chain
-        # itself) are computed once at the accepted optimum, not ~4x per
-        # Nelder-Mead iteration.
-        def search_eval(theta, carry, iters):
-            Lam = _vech_to_lower(theta, q)
-            beta, v = loop32(Lam.astype(jnp.float32), carry[0], carry[1], iters)
+        def dev_tail(dtype):
+            """Deviance-only pass at a PIRLS mode (no Schur-block work)."""
+            Xd = Xf.astype(dtype)
+            yd = yf.astype(dtype)
+            Zd = Zf.astype(dtype)
+            md = mask.astype(dtype)
+            eye_qd = jnp.eye(q, dtype=dtype)
 
-            # Deviance-only f64 pass at the final mode.
-            beta64 = beta.astype(jnp.float64)
-            v64 = v.astype(jnp.float64)
-            u = (v64[:, None, :] * Lam[None, :, :]).sum(-1)
-            eta = smallchol.rowmv(Xf, beta64) + jnp.einsum(
-                "nq,nq->n", Zf, rows_of(u)
-            )
-            mu, var, dmu = mu_var_dmu(eta)
-            w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * mask
-            wZ = Zf * w[:, None]
-            G = seg_rows(wZ[:, :, None] * Zf[:, None, :])
-            LtG = (Lam[None, :, :, None] * G[:, :, None, :]).sum(1)
-            C = eye_q[None] + (
-                LtG[:, :, :, None] * Lam[None, None, :, :]
-            ).sum(2)
-            cholC = smallchol.chol(C)
-            lap = (
-                _deviance(spec.outcome, yf, mu, mask)
-                + jnp.sum(v64 * v64)
-                + jnp.sum(smallchol.logdet_from_chol(cholC))
-            )
+            def tail(Lam, beta, v):
+                u = (v[:, None, :] * Lam[None, :, :]).sum(-1)
+                eta = smallchol.rowmv(Xd, beta) + jnp.einsum(
+                    "nq,nq->n", Zd, rows_of(u)
+                )
+                mu, var, dmu = mu_var_dmu(eta)
+                w = (dmu * dmu / jnp.maximum(var, MU_EPS)) * md
+                wZ = Zd * w[:, None]
+                G = seg_rows(wZ[:, :, None] * Zd[:, None, :])
+                LtG = (Lam[None, :, :, None] * G[:, :, None, :]).sum(1)
+                C = eye_qd[None] + (
+                    LtG[:, :, :, None] * Lam[None, None, :, :]
+                ).sum(2)
+                cholC = smallchol.chol(C)
+                return (
+                    _deviance(spec.outcome, yd, mu, md)
+                    + jnp.sum(v * v)
+                    + jnp.sum(smallchol.logdet_from_chol(cholC))
+                )
+
+            return tail
+
+        dev_tail32 = dev_tail(jnp.float32)
+        dev_tail64 = dev_tail(jnp.float64)
+
+        # Search-phase evaluator: f32 PIRLS state from the CARRIED mode and
+        # — since round 5 — f32 candidate RANKING too (the extras path's
+        # measured plan: one f64 full-data deviance pass per candidate is
+        # emulated-transcendental-bound on TPU and dominated each eval;
+        # candidate differences near convergence are O(0.01-1) against a
+        # deviance of O(1e2-1e3), above f32 resolution). The accepted
+        # optimum, final fit, and pin probes stay f64. The (m,q,p)
+        # Schur-block work is still skipped in the search entirely.
+        def search_eval(theta, carry, iters):
+            Lam32 = _vech_to_lower(theta, q).astype(jnp.float32)
+            beta, v = loop32(Lam32, carry[0], carry[1], iters)
+            lap = dev_tail32(Lam32, beta, v).astype(jnp.float64)
             lap = jnp.where(jnp.isfinite(lap), lap, jnp.float64(1e30))
             return lap, (beta, v)
 
@@ -839,10 +852,25 @@ def _slope_glmm_grid_stats(
             cov = _fd_hessian_cov(dev_beta, beta, cov)
         D_hat = Lam @ Lam.T
         tau2_hat = D_hat[0, 0]
-        # Per-component pins [intercept, slope_0, ...] — the reference's
-        # pinned_components bitmask (spec.rs:562-573), unpacked for the
-        # batch driver's bool count reduction.
-        pinned = jnp.diagonal(Lam) < 1e-3
+        # Per-component pins [intercept, slope_0, ...] by explicit f64
+        # ZERO PROBES (the LMM slope path's round-5 semantics): f32
+        # candidate ranking lets the simplex park O(1e-2) off a flat
+        # null-variance boundary, so a diag threshold under-fires. Each
+        # probe re-solves the mode at theta with that chol COLUMN zeroed
+        # (warm-started from the accepted mode, short budget); costing no
+        # deviance means the component is pinned.
+        d_theta = q * (q + 1) // 2
+        probes = []
+        for j in range(q):
+            cz = np.ones(d_theta)
+            off = sum(q - c for c in range(j))
+            cz[off : off + (q - j)] = 0.0
+            Lam_j = _vech_to_lower(
+                theta_hat * jnp.asarray(cz, jnp.float64), q
+            )
+            bj, vj = loop64(Lam_j, beta, v, N_PIRLS_SLOPE_WARM)
+            probes.append(dev_tail64(Lam_j, bj, vj))
+        pinned = jnp.stack(probes) <= lap + 1e-10
         boundary = jnp.any(pinned)
         converged = (
             jnp.all(jnp.isfinite(beta))
