@@ -36,6 +36,35 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "throughput_baseline.json")
 N_SIMS = 4000
 REPEATS = 3
+DRIFT_RETRY_PCT = 20.0
+
+# Per-arm replicate budgets (round 5): the round-5 cross-session drift run
+# showed the ratio gate reproduces within 0-6% on arms >= ~150 ms but
+# swings up to 2x on ~40 ms arms — a fast arm and its control brackets sit
+# below the tunnel-window granularity, so window transitions BETWEEN the
+# reps dominate the measurement. Budgets are frozen per arm (they are part
+# of the measurement definition; fits/s amortizes dispatch overhead
+# differently at different widths) and sized so every arm runs >= ~200 ms.
+ARM_SIMS = {
+    # sized from the MEASURED amortized rates (the first resize revealed
+    # the 4k-sim numbers were dispatch-latency-bound: ols_base ran 24k
+    # sims in the same 32 ms that 4k took)
+    "ols_base": 200_000,
+    "ols_scenario": 100_000,
+    "logit_base": 64_000,
+    "logit_scenario": 48_000,
+    "poisson_base": 56_000,
+    "poisson_scenario": 48_000,
+    "lmm_base": 48_000,
+    "lmm_scenario": 40_000,
+    "ols_grid8": 160_000,
+    "ols_factor_inter": 128_000,
+    "ols_wide": 48_000,
+    "lme_matched_q1": 24_000,
+    "glmm_base": 12_000,
+    "glmm_scenario": 12_000,
+    "glm_rare": 8_000,
+}
 
 
 def _cases():
@@ -224,11 +253,20 @@ _CTL = {}
 def _control_ms(reps: int = REPEATS) -> float:
     """Median wall-time of the frozen control program, in ms.
 
-    A fixed elementwise fori_loop over a 16 MiB f32 buffer (~8 GB of VPU
-    traffic) that no engine change can touch. Timed adjacent to each arm,
-    it measures the SESSION's current speed (tunnel window, device clock),
-    so arm/control ratios are comparable across sessions even when raw
-    times are not.
+    A fixed elementwise fori_loop over a 16 MiB f32 buffer that no engine
+    change can touch. Timed adjacent to each arm, it measures the
+    SESSION's current speed, so arm/control ratios are comparable across
+    sessions even when raw times are not.
+
+    Round-5 resize: at 192 iterations the control ran ~8 ms of device
+    compute inside ~27 ms of wall — DOMINATED by tunnel round-trip
+    latency. That matched the old 4k-sim arms (also latency-bound), but
+    once every arm was resized to >= 250 ms of device compute the
+    latency-tracking control DECOUPLED from the compute-bound arms
+    (observed: an arm's raw time reproduced within 3% across sessions
+    while its "ratio" swung 22% because the control moved 26 -> 34 ms).
+    4096 iterations puts the control itself ~180 ms compute-bound, so the
+    ratio tracks device speed with the latency share down to ~10%.
     """
     import jax
     import jax.numpy as jnp
@@ -240,7 +278,7 @@ def _control_ms(reps: int = REPEATS) -> float:
             def body(_, x):
                 return x * 1.0000001 + 0.5 / (x * x + 1.0)
 
-            return jax.lax.fori_loop(0, 192, body, x).sum()
+            return jax.lax.fori_loop(0, 4096, body, x).sum()
 
         _CTL["fn"] = ctl
         _CTL["x"] = jnp.full((4 * 1024 * 1024,), 1.5, jnp.float32)
@@ -271,27 +309,41 @@ def run(only=None):
         # other arms' numbers; the failure is reported and the exit code
         # still signals it.
         try:
+            n_sims = ARM_SIMS.get(name, N_SIMS)
             spec, arrays = lower.lower(**kw)
             arrays = jax.device_put(arrays)
-            batch.run_batch(spec, arrays, N_SIMS, 1, chunk_size=N_SIMS)  # warmup
-            ctl_pre = _control_ms()  # bracket BEFORE the timed reps
-            times = []
-            for r in range(REPEATS):
-                t0 = time.perf_counter()
-                batch.run_batch(spec, arrays, N_SIMS, 2137 + r, chunk_size=N_SIMS)
-                times.append(time.perf_counter() - t0)
-            med = statistics.median(times)
-            ctl_post = _control_ms()  # ... and AFTER
-            # Two-sided bracketing (round 5): a 2 s arm and a single ~27 ms
-            # control do not share a window when the tunnel speed moves
-            # mid-arm — round 4 measured a 1.50x ctl-normalized swing on an
-            # UNTOUCHED slow arm from exactly this. The ratio uses the mean
-            # of the pre/post controls, and the spread is stored so a gate
-            # hit on a drifting window is distinguishable from a real
-            # regression (drift_pct > gate margin => rerun, don't bisect).
-            ctl_ms = 0.5 * (ctl_pre + ctl_post)
-            drift = abs(ctl_post - ctl_pre) / ctl_ms * 100.0
-            fits = N_SIMS * len(spec.grid)
+            batch.run_batch(spec, arrays, n_sims, 1, chunk_size=n_sims)  # warmup
+            # Two-sided bracketing (round 5): a slow arm and a single
+            # ~27 ms control do not share a window when the tunnel speed
+            # moves mid-arm — round 4 measured a 1.50x ctl-normalized swing
+            # on an UNTOUCHED slow arm from exactly this. The ratio uses
+            # the mean of the pre/post controls; if the two controls
+            # disagree by more than DRIFT_RETRY_PCT the whole measurement
+            # ran across a window transition and is RETRIED (a drifted
+            # bracket frozen into the baseline poisons every later
+            # comparison — observed: a 108% drift froze a 1.9x-skewed
+            # ratio). The final spread is stored either way.
+            for _attempt in range(3):
+                ctl_pre = _control_ms()  # bracket BEFORE the timed reps
+                times = []
+                for r in range(REPEATS):
+                    t0 = time.perf_counter()
+                    batch.run_batch(
+                        spec, arrays, n_sims, 2137 + r, chunk_size=n_sims
+                    )
+                    times.append(time.perf_counter() - t0)
+                med = statistics.median(times)
+                ctl_post = _control_ms()  # ... and AFTER
+                ctl_ms = 0.5 * (ctl_pre + ctl_post)
+                drift = abs(ctl_post - ctl_pre) / ctl_ms * 100.0
+                if drift <= DRIFT_RETRY_PCT:
+                    break
+                print(
+                    f"{name:16s}   (control drift {drift:.0f}% — window "
+                    "transition mid-arm; retrying)",
+                    flush=True,
+                )
+            fits = n_sims * len(spec.grid)
             fps = round(fits / med, 1)
             results[name] = {
                 "fits_per_s": fps,
