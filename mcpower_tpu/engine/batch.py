@@ -301,14 +301,24 @@ def run_batch(
     slo, shi = jnp.uint32(seed_lo), jnp.uint32(seed_hi)
 
     chunk = int(chunk_size) if chunk_size else max(min(n_sims, 4096), 1)
-    # Joint-Z (extra-grouping) programs fault the TPU worker at 4096-lane
-    # dispatches (observed on v5e: the NM-over-capacitance program is fine
-    # at <= 1024 lanes, kills the worker at 4096 — a runtime resource
-    # limit, not a numeric issue). Chunking is results-invisible
-    # (test_chunking_is_invisible), so cap the dispatch width for these
-    # specs; everything else keeps the wide fast path.
+    # Joint-Z (extra-grouping) dispatch-width caps. History: the DENSE
+    # joint-Z programs fault the TPU worker at 4096-lane dispatches
+    # (observed round 3 on v5e — a runtime resource limit, not a numeric
+    # issue), hence the 1024 cap. The round-5 structured-capacitance path
+    # (all-intercept plans) is far lighter: measured on-chip, the LMM q1
+    # program RUNS at 4096 lanes and is ~12% faster per fit there (one
+    # dispatch instead of four also removes the tunnel-latency share that
+    # made lmm_extras the noisiest frozen arm). The GLMM q1 program also
+    # runs at 4096 but measured ~10% SLOWER per fit than at 1024 (long
+    # PIRLS chains lose occupancy at width), so it keeps 1024. Chunking is
+    # results-invisible (test_chunking_is_invisible).
     if spec.cluster is not None and spec.cluster.extra_groupings:
-        capped = min(chunk, 1024)
+        from .mixedfit import _grouping_plan, _plan_all_q1
+
+        wide_ok = spec.estimator == "mle" and _plan_all_q1(
+            _grouping_plan(spec)
+        )
+        capped = min(chunk, 4096 if wide_ok else 1024)
         if capped < chunk and chunk_size:
             # An explicitly requested chunk_size is being overridden — say
             # so once, so bench labels/caller expectations aren't misread
@@ -316,9 +326,9 @@ def run_batch(
             import warnings as _w
 
             _w.warn(
-                f"extra-grouping spec: dispatch chunk capped at 1024 lanes "
-                f"(requested {chunk}); timings/progress reflect the capped "
-                "width",
+                f"extra-grouping spec: dispatch chunk capped at {capped} "
+                f"lanes (requested {chunk}); timings/progress reflect the "
+                "capped width",
                 UserWarning,
                 stacklevel=2,
             )
