@@ -161,11 +161,17 @@ def run_batch_sharded(
     fn = _sharded_fn(spec, mesh_key)
 
     chunk = int(chunk_size) if chunk_size else max(min(n_sims, 4096), 1)
-    # Joint-Z (extra-grouping) programs fault the TPU worker above ~1024
-    # lanes per device (see engine.batch.run_batch) — cap the PER-DEVICE
-    # width; chunking stays results-invisible.
+    # Joint-Z (extra-grouping) per-device width caps — same policy as
+    # engine.batch.run_batch: the DENSE programs fault the worker above
+    # ~1024 lanes/device; the round-5 structured LMM (all-intercept)
+    # program runs and wins at 4096. Chunking stays results-invisible.
     if spec.cluster is not None and spec.cluster.extra_groupings:
-        chunk = min(chunk, 1024 * nd)
+        from ..engine.mixedfit import _grouping_plan, _plan_all_q1
+
+        wide_ok = spec.estimator == "mle" and _plan_all_q1(
+            _grouping_plan(spec)
+        )
+        chunk = min(chunk, (4096 if wide_ok else 1024) * nd)
     # Pad the chunk length to a device multiple once; all dispatches reuse it.
     chunk_padded = -(-chunk // nd) * nd
     lanes = jnp.arange(chunk_padded, dtype=jnp.uint32)
