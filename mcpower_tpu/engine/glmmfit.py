@@ -455,13 +455,21 @@ def _extras_glmm_grid_stats(
         # twin compiled for >45 min on both backends — reverted; see the
         # mixedfit note). dynamic_budget keeps ONE traced body across the
         # two budget phases, halving even the blocked-form body count.
+        # Search-length scales with theta dimension (round 5): the shared
+        # 45-iteration budget was sized for the q>=2 slope searches; the
+        # common intercepts-only extras plan has d_theta = n_groupings
+        # (2-3), where a truth-started simplex contracts in far fewer
+        # iterations — 30 for d <= 3 measured indistinguishable on the
+        # parity suites while each saved iteration is 4 full PIRLS chains.
+        d_theta = int(theta0.shape[0])
+        nm_total = 30 if d_theta <= 3 else NM_ITERS_GLMM
         theta_hat, _, _ = optim.nelder_mead_carry(
             search_eval,
             theta0,
             (beta0.astype(f32), v0.astype(f32)),
             phases=(
                 (NM_FULL_SLOPE, N_PIRLS_SLOPE),
-                (NM_ITERS_GLMM - NM_FULL_SLOPE, N_PIRLS_SLOPE_WARM),
+                (nm_total - NM_FULL_SLOPE, N_PIRLS_SLOPE_WARM),
             ),
             init_step=0.2,
             lower=lower,
